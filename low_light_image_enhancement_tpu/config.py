@@ -1,0 +1,68 @@
+"""Pipeline configuration.
+
+Plain frozen dataclasses (hashable → usable as jit static args / cache keys).
+One named preset per benchmark config in BASELINE.json:6-12.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """Configuration of the enhancement device graph.
+
+    All fields are Python scalars so the dataclass is hashable and a config
+    change maps to exactly one XLA recompile.
+    """
+
+    # --- algorithm selection -------------------------------------------------
+    # "retinex": classical illumination-map / reflectance path (no weights).
+    # "curve":   Zero-DCE-style learned curve adjustment (needs CNN params).
+    # "hybrid":  retinex illumination boost followed by learned curves.
+    method: str = "retinex"
+
+    # --- retinex / gamma -----------------------------------------------------
+    gamma: float = 0.45          # illumination brightening exponent (<1 brightens)
+    illum_eps: float = 1e-3      # floor for illumination before division
+    blur_radius: int = 2         # Gaussian radius for illumination smoothing
+    blur_sigma: float = 1.0      # Gaussian sigma for illumination smoothing
+
+    # --- denoise -------------------------------------------------------------
+    denoise_strength: float = 0.5   # 0 disables; blend factor toward filtered
+    denoise_sigma: float = 0.12     # range sigma of the bilateral-lite filter
+
+    # --- curve CNN -----------------------------------------------------------
+    curve_iters: int = 8         # LE-curve iterations (Zero-DCE uses 8)
+    curve_features: int = 32     # conv width of the curve estimator
+
+    # --- execution -----------------------------------------------------------
+    use_pallas: bool = True      # fuse the per-pixel graph into a Pallas kernel
+    stripe_rows: int = 128       # Pallas stripe height (rows per grid step)
+    compute_dtype: str = "float32"
+
+    # --- sharding (config 5) -------------------------------------------------
+    spatial_shards: int = 1      # >1: shard H across `spatial` mesh axis
+
+    def replace(self, **kw) -> "PipelineConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# Named presets mirroring the five benchmark configs (BASELINE.json:6-12).
+PRESETS = {
+    # 1. Single LOL 600x400 image: Retinex decomposition + gamma enhance,
+    #    CPU JAX, parity vs the pure-jnp reference path.
+    "config1_single_cpu": PipelineConfig(method="retinex", use_pallas=False),
+    # 2. LOL eval-15 batched inference, fused decode->enhance->encode, 1 core.
+    "config2_lol_eval": PipelineConfig(method="retinex", use_pallas=True),
+    # 3. Zero-DCE-style curve CNN at 512x512 batch-64 on a v5e chip.
+    "config3_curve_cnn": PipelineConfig(method="curve", use_pallas=True),
+    # 4. 1080p streaming enhancement with double-buffered prefetch.
+    "config4_1080p_stream": PipelineConfig(method="retinex", use_pallas=True),
+    # 5. 4K sharded via shard_map across a v5e-8 slice, per-shard denoise.
+    "config5_4k_sharded": PipelineConfig(
+        method="retinex", use_pallas=True, spatial_shards=8
+    ),
+}

@@ -1,0 +1,80 @@
+"""The enhancement device graph on pre-padded planar images.
+
+This is the *reference implementation of record* (pure jnp): the fused Pallas
+kernels in ``kernels/`` reproduce this math tap-for-tap, and the parity tests
+compare against these functions. Everything operates on images pre-padded by
+``MARGIN`` with edge replication (see ``pipeline.pad_planar``), using
+wrap-around (roll) shifts — interior results are identical to edge-clamped
+filtering of the unpadded image, and the corrupted outer ring (< MARGIN) is
+cropped by the caller.
+
+Boundary convention: the canvas is replicate-padded ONCE from the raw input;
+cascaded windowed stages (blur -> denoise) then filter across that padding.
+This differs in the outermost output pixel ring from running each stage with
+its own edge clamp — both are valid conventions; this one is canonical here
+because it is what a single fused VMEM-resident kernel naturally computes.
+
+Spec: BASELINE.json north_star (normalization -> illumination estimation ->
+reflectance/gamma boost -> curve CNN -> fused denoise + gamma).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+from low_light_image_enhancement_tpu.config import PipelineConfig
+from low_light_image_enhancement_tpu.ops.curves import apply_curves
+from low_light_image_enhancement_tpu.ops.denoise import bilateral_core
+from low_light_image_enhancement_tpu.ops.filters import (
+    gaussian_kernel_1d,
+    roll2d,
+)
+
+# Edge-replicate padding margin. Must cover the total receptive-field radius
+# of the graph (blur_radius + 1 for the 3x3 denoise) and keep padded rows a
+# multiple of the f32 sublane tile (8) when combined with stripe planning.
+MARGIN = 4
+
+
+def illumination_boost(xp: jnp.ndarray, cfg: PipelineConfig) -> jnp.ndarray:
+    """Retinex stage: x * clip(blur(maxRGB), eps, 1) ** (gamma - 1)."""
+    l0 = jnp.max(xp, axis=-3)
+    taps = gaussian_kernel_1d(cfg.blur_radius, cfg.blur_sigma)
+    acc = None
+    for i, t in enumerate(taps):
+        term = t * roll2d(l0, i - cfg.blur_radius, 0)
+        acc = term if acc is None else acc + term
+    l = None
+    for j, t in enumerate(taps):
+        term = t * roll2d(acc, 0, j - cfg.blur_radius)
+        l = term if l is None else l + term
+    l = jnp.clip(l, cfg.illum_eps, 1.0)
+    boost = jnp.exp((cfg.gamma - 1.0) * jnp.log(l))
+    return jnp.clip(xp * boost[..., None, :, :], 0.0, 1.0)
+
+
+def enhance_core_padded(
+    xp: jnp.ndarray,
+    cfg: PipelineConfig,
+    curve_maps: Optional[jnp.ndarray] = None,
+    do_denoise: bool = True,
+) -> jnp.ndarray:
+    """Full enhance graph on a padded planar image ``(..., 3, Hp, Wp)``.
+
+    ``curve_maps`` (``(..., n_iter, 3, Hp, Wp)``) must be given for the
+    "curve"/"hybrid" methods; they come from ``models.apply_curve_cnn`` on the
+    same padded canvas.
+    """
+    x = xp
+    if cfg.method in ("retinex", "hybrid"):
+        x = illumination_boost(x, cfg)
+    if cfg.method in ("curve", "hybrid"):
+        if curve_maps is None:
+            raise ValueError(f"method={cfg.method!r} requires curve_maps")
+        x = jnp.clip(apply_curves(x, curve_maps), 0.0, 1.0)
+    if do_denoise and cfg.denoise_strength > 0.0:
+        inv2s2 = 1.0 / (2.0 * cfg.denoise_sigma * cfg.denoise_sigma)
+        x = bilateral_core(x, inv2s2, cfg.denoise_strength, roll2d)
+    return jnp.clip(x, 0.0, 1.0)

@@ -1,0 +1,91 @@
+"""LOL paired low-light dataset (485 train / 15 eval pairs).
+
+Loads the standard on-disk layout when available::
+
+    <root>/our485/low/*.png   <root>/our485/high/*.png
+    <root>/eval15/low/*.png   <root>/eval15/high/*.png
+
+Root resolution order: explicit ``root`` arg, ``$LLIE_LOL_DIR``, ``data/LOL``
+under the repo. When no real dataset is present (this environment has no
+network egress), a deterministic synthetic stand-in with the same shapes and
+counts is generated so every downstream consumer (eval runner, bench,
+training) works unchanged.
+
+Spec: BASELINE.json metric ("images/sec/chip at 600x400 (LOL)") and
+configs 1-2 (BASELINE.json:7-8).
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from low_light_image_enhancement_tpu.data.synth import synth_pair
+
+_SPLITS = {"train": ("our485", 485), "eval15": ("eval15", 15)}
+
+
+class LOLDataset:
+    def __init__(
+        self,
+        root: Optional[str] = None,
+        split: str = "eval15",
+        size: Tuple[int, int] = (400, 600),
+        synthetic_seed: int = 0,
+    ):
+        if split not in _SPLITS:
+            raise ValueError(f"split must be one of {sorted(_SPLITS)}")
+        self.split = split
+        self.size = size
+        self._seed = synthetic_seed
+        self._files: Optional[List[Tuple[Path, Path]]] = None
+
+        root = root or os.environ.get("LLIE_LOL_DIR") or "data/LOL"
+        subdir, self._n_synth = _SPLITS[split]
+        low_dir = Path(root) / subdir / "low"
+        high_dir = Path(root) / subdir / "high"
+        if low_dir.is_dir() and high_dir.is_dir():
+            lows = sorted(low_dir.iterdir())
+            pairs = []
+            for lp in lows:
+                hp = high_dir / lp.name
+                if hp.exists():
+                    pairs.append((lp, hp))
+            if pairs:
+                self._files = pairs
+
+    @property
+    def is_synthetic(self) -> bool:
+        return self._files is None
+
+    def __len__(self) -> int:
+        return len(self._files) if self._files else self._n_synth
+
+    def __getitem__(self, i: int) -> Tuple[np.ndarray, np.ndarray, str]:
+        """Returns (low_u8, high_u8, name)."""
+        if self._files is not None:
+            from low_light_image_enhancement_tpu.io.codec import decode_image
+
+            lp, hp = self._files[i]
+            return decode_image(lp), decode_image(hp), lp.name
+        h, w = self.size
+        low, high = synth_pair(i, h, w, seed=self._seed)
+        return low, high, f"synth_{self.split}_{i:04d}"
+
+    def pairs(self) -> Iterator[Tuple[np.ndarray, np.ndarray, str]]:
+        for i in range(len(self)):
+            yield self[i]
+
+    def as_batch(self, n: Optional[int] = None):
+        """Stack the first ``n`` (default: all) pairs into (lows, highs)
+        uint8 arrays — requires uniform image sizes (true for LOL/synth)."""
+        n = len(self) if n is None else min(n, len(self))
+        lows, highs = [], []
+        for i in range(n):
+            lo, hi, _ = self[i]
+            lows.append(lo)
+            highs.append(hi)
+        return np.stack(lows), np.stack(highs)

@@ -1,0 +1,82 @@
+"""Batched, jittable PSNR and SSIM (BASELINE.json metric: "PSNR/SSIM delta").
+
+Layout convention: SSIM filters over the last two axes (planar layout). For
+the common u8 HWC case use the ``*_u8`` helpers which transpose first.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from low_light_image_enhancement_tpu.ops.filters import gaussian_kernel_1d, shift2d
+
+
+def psnr(a: jnp.ndarray, b: jnp.ndarray, max_val: float = 1.0) -> jnp.ndarray:
+    """Peak signal-to-noise ratio in dB. Returns per-image values for batched
+    inputs (reduction over all but the first axis), a scalar for single
+    images (ndim <= 3 reduces everything)."""
+    a = a.astype(jnp.float32)
+    b = b.astype(jnp.float32)
+    if a.ndim > 3:
+        axes = tuple(range(1, a.ndim))
+        mse = jnp.mean((a - b) ** 2, axis=axes)
+    else:
+        mse = jnp.mean((a - b) ** 2)
+    mse = jnp.maximum(mse, 1e-12)
+    return 10.0 * jnp.log10((max_val * max_val) / mse)
+
+
+def _ssim_blur(x, radius, sigma):
+    taps = gaussian_kernel_1d(radius, sigma)
+    acc = None
+    for i, t in enumerate(taps):
+        term = t * shift2d(x, i - radius, 0)
+        acc = term if acc is None else acc + term
+    out = None
+    for j, t in enumerate(taps):
+        term = t * shift2d(acc, 0, j - radius)
+        out = term if out is None else out + term
+    return out
+
+
+def ssim(
+    a: jnp.ndarray,
+    b: jnp.ndarray,
+    max_val: float = 1.0,
+    radius: int = 5,
+    sigma: float = 1.5,
+) -> jnp.ndarray:
+    """Mean SSIM with an 11x11 Gaussian window (edge-replicate boundary,
+    'same' output — slightly more lenient at borders than the 'valid'
+    convention but consistent across every path we compare).
+
+    Planar layout: spatial axes must be the last two. Returns per-image means
+    for batched input (B, C, H, W), a scalar for (C, H, W) / (H, W).
+    """
+    a = a.astype(jnp.float32)
+    b = b.astype(jnp.float32)
+    c1 = (0.01 * max_val) ** 2
+    c2 = (0.03 * max_val) ** 2
+    mu_a = _ssim_blur(a, radius, sigma)
+    mu_b = _ssim_blur(b, radius, sigma)
+    var_a = _ssim_blur(a * a, radius, sigma) - mu_a * mu_a
+    var_b = _ssim_blur(b * b, radius, sigma) - mu_b * mu_b
+    cov = _ssim_blur(a * b, radius, sigma) - mu_a * mu_b
+    s = ((2 * mu_a * mu_b + c1) * (2 * cov + c2)) / (
+        (mu_a * mu_a + mu_b * mu_b + c1) * (var_a + var_b + c2)
+    )
+    if a.ndim > 3:
+        return jnp.mean(s, axis=tuple(range(1, s.ndim)))
+    return jnp.mean(s)
+
+
+def psnr_u8(a_u8: jnp.ndarray, b_u8: jnp.ndarray) -> jnp.ndarray:
+    return psnr(a_u8.astype(jnp.float32) / 255.0,
+                b_u8.astype(jnp.float32) / 255.0)
+
+
+def ssim_u8(a_u8: jnp.ndarray, b_u8: jnp.ndarray) -> jnp.ndarray:
+    """u8 (..., H, W, 3) channels-last -> mean SSIM (planar transposed)."""
+    a = jnp.moveaxis(a_u8.astype(jnp.float32) / 255.0, -1, -3)
+    b = jnp.moveaxis(b_u8.astype(jnp.float32) / 255.0, -1, -3)
+    return ssim(a, b)

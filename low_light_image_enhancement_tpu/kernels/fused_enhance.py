@@ -1,0 +1,141 @@
+"""Fused Retinex-enhance Pallas kernel (the config-2 hot path).
+
+One grid step = one VMEM-resident image stripe. Inside the kernel:
+u8-normalized f32 RGB -> max-RGB illumination -> separable Gaussian blur ->
+clip -> gamma boost (algebraic form ``x * L**(gamma-1)``) -> 3x3 bilateral
+denoise -> clip. A single HBM read + write per stripe; every intermediate
+lives in VMEM/registers. Math mirrors ``core.enhance_core_padded`` with
+``method='retinex'`` tap-for-tap.
+
+Spec: BASELINE.json north_star ("all per-pixel transforms ... fuse into
+Pallas kernels"), target >=1000 600x400 img/s/chip.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from low_light_image_enhancement_tpu.config import PipelineConfig
+from low_light_image_enhancement_tpu.core import MARGIN
+from low_light_image_enhancement_tpu.kernels.striping import (
+    StripePlan,
+    extract_stripes,
+    merge_stripes,
+    plan_stripes,
+)
+from low_light_image_enhancement_tpu.ops.denoise import bilateral_core
+from low_light_image_enhancement_tpu.ops.filters import gaussian_kernel_1d
+
+
+def kroll2d(x: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
+    """In-kernel circular shift matching ``ops.filters.roll2d`` semantics
+    (out[y, x] = in[y - dy, x - dx])."""
+    if dy:
+        x = pltpu.roll(x, dy % x.shape[-2], axis=x.ndim - 2)
+    if dx:
+        x = pltpu.roll(x, dx % x.shape[-1], axis=x.ndim - 1)
+    return x
+
+
+def _blur_plane(l0, taps, radius):
+    # Identical accumulation order to ops.filters._separable_blur.
+    acc = None
+    for i, t in enumerate(taps):
+        term = t * kroll2d(l0, i - radius, 0)
+        acc = term if acc is None else acc + term
+    out = None
+    for j, t in enumerate(taps):
+        term = t * kroll2d(acc, 0, j - radius)
+        out = term if out is None else out + term
+    return out
+
+
+def _retinex_kernel(
+    x_ref, o_ref, *, taps, radius, gamma, eps, inv2s2, strength, margin, th
+):
+    x = x_ref[0, 0]  # (3, THh, Wp) f32
+    l0 = jnp.maximum(jnp.maximum(x[0], x[1]), x[2])
+    l = jnp.clip(_blur_plane(l0, taps, radius), eps, 1.0)
+    boost = jnp.exp((gamma - 1.0) * jnp.log(l))
+    for c in range(3):  # per-plane 2-D ops keep Mosaic layouts simple
+        y = jnp.clip(x[c] * boost, 0.0, 1.0)
+        if strength > 0.0:
+            y = bilateral_core(y, inv2s2, strength, kroll2d)
+        o_ref[0, 0, c] = jnp.clip(y, 0.0, 1.0)[margin : margin + th, :]
+
+
+def fused_retinex(
+    xp: jnp.ndarray,
+    cfg: PipelineConfig,
+    plan: StripePlan,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Run the fused kernel over a padded planar batch.
+
+    Args:
+      xp: (B, 3, Hp, Wp) f32 padded canvas (see ``pipeline.pad_planar``).
+      plan: stripe plan for (Hp, Wp).
+      interpret: run in Pallas interpreter mode (CPU tests).
+
+    Returns:
+      (B, 3, S*TH, Wp) f32 — padded rows [margin, margin + S*TH), so row 0 of
+      the result is row 0 of the original unpadded image. Columns still carry
+      the horizontal padding; the caller crops [margin, margin + W).
+    """
+    b = xp.shape[0]
+    thh = plan.stripe_rows + 2 * plan.margin
+    stripes = extract_stripes(xp, plan)  # (B, 3, S, THh, Wp)
+    stripes = jnp.transpose(stripes, (0, 2, 1, 3, 4))  # (B, S, 3, THh, Wp)
+
+    kernel = functools.partial(
+        _retinex_kernel,
+        taps=gaussian_kernel_1d(cfg.blur_radius, cfg.blur_sigma),
+        radius=cfg.blur_radius,
+        gamma=cfg.gamma,
+        eps=cfg.illum_eps,
+        inv2s2=1.0 / (2.0 * cfg.denoise_sigma * cfg.denoise_sigma),
+        strength=cfg.denoise_strength,
+        margin=plan.margin,
+        th=plan.stripe_rows,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, plan.n_stripes),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, 3, thh, plan.padded_w),
+                lambda i, j: (i, j, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, 3, plan.stripe_rows, plan.padded_w),
+            lambda i, j: (i, j, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, plan.n_stripes, 3, plan.stripe_rows, plan.padded_w),
+            jnp.float32,
+        ),
+        interpret=interpret,
+    )(stripes)
+    return merge_stripes(out, plan)
+
+
+def fused_retinex_auto(
+    xp: jnp.ndarray, cfg: PipelineConfig, interpret: bool = False
+) -> jnp.ndarray:
+    """Convenience wrapper deriving the stripe plan from ``xp``'s shape."""
+    hp, wp = xp.shape[-2], xp.shape[-1]
+    th_target = cfg.stripe_rows
+    plan = plan_stripes(hp - 2 * MARGIN, wp - 2 * MARGIN, MARGIN, th_target)
+    if plan.padded_h != hp or plan.padded_w != wp:
+        raise ValueError(
+            f"padded shape {(hp, wp)} inconsistent with plan {plan}"
+        )
+    return fused_retinex(xp, cfg, plan, interpret=interpret)

@@ -1,0 +1,75 @@
+"""Standalone tiled bilateral-denoise Pallas kernel.
+
+Used by the curve-CNN path (where the curve application happens in XLA but
+the windowed denoise still benefits from VMEM-resident fusion) and by the
+per-shard denoise of the spatially-sharded 4K pipeline (BASELINE.json:11).
+Math mirrors ``ops.denoise.bilateral_core`` tap-for-tap.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from low_light_image_enhancement_tpu.kernels.striping import (
+    StripePlan,
+    extract_stripes,
+    merge_stripes,
+)
+from low_light_image_enhancement_tpu.kernels.fused_enhance import kroll2d
+from low_light_image_enhancement_tpu.ops.denoise import bilateral_core
+
+
+def _denoise_kernel(x_ref, o_ref, *, inv2s2, strength, margin, th):
+    x = x_ref[0, 0]  # (3, THh, Wp)
+    for c in range(3):
+        y = bilateral_core(x[c], inv2s2, strength, kroll2d)
+        o_ref[0, 0, c] = jnp.clip(y, 0.0, 1.0)[margin : margin + th, :]
+
+
+def tiled_denoise(
+    xp: jnp.ndarray,
+    sigma_range: float,
+    strength: float,
+    plan: StripePlan,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(B, 3, Hp, Wp) padded canvas -> (B, 3, S*TH, Wp) denoised rows
+    [margin, margin + S*TH); caller crops columns."""
+    b = xp.shape[0]
+    thh = plan.stripe_rows + 2 * plan.margin
+    stripes = jnp.transpose(extract_stripes(xp, plan), (0, 2, 1, 3, 4))
+
+    kernel = functools.partial(
+        _denoise_kernel,
+        inv2s2=1.0 / (2.0 * sigma_range * sigma_range),
+        strength=strength,
+        margin=plan.margin,
+        th=plan.stripe_rows,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, plan.n_stripes),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, 3, thh, plan.padded_w),
+                lambda i, j: (i, j, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, 3, plan.stripe_rows, plan.padded_w),
+            lambda i, j: (i, j, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, plan.n_stripes, 3, plan.stripe_rows, plan.padded_w),
+            jnp.float32,
+        ),
+        interpret=interpret,
+    )(stripes)
+    return merge_stripes(out, plan)

@@ -1,0 +1,104 @@
+"""Zero-DCE-style curve-estimation CNN (BASELINE.json config 3).
+
+Seven 3x3 convs with U-style skip concatenations; the head emits
+``3 * n_iter`` tanh-bounded per-pixel curve parameter maps that drive
+``ops.curves.apply_curves``. Pure functional: ``init_curve_cnn`` returns a
+param pytree, ``apply_curve_cnn`` is jit/pjit-friendly.
+
+TPU notes: convs run in NHWC (XLA TPU's preferred conv layout, lowered onto
+the MXU); the planar (C,H,W) pipeline layout is transposed at entry/exit.
+Compute dtype is configurable — bfloat16 inputs with float32 accumulation
+(``preferred_element_type``) is the MXU fast path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+Params = Dict[str, Dict[str, jnp.ndarray]]
+
+_CONV_DN = ("NHWC", "HWIO", "NHWC")
+
+
+def _conv(x, w, b, compute_dtype):
+    y = lax.conv_general_dilated(
+        x.astype(compute_dtype),
+        w.astype(compute_dtype),
+        window_strides=(1, 1),
+        padding="SAME",
+        dimension_numbers=_CONV_DN,
+        preferred_element_type=jnp.float32,
+    )
+    return y + b.astype(jnp.float32)
+
+
+def init_curve_cnn(
+    key: jax.Array, features: int = 32, n_iter: int = 8
+) -> Params:
+    """He-normal initialized parameters for the 7-conv curve estimator."""
+    sizes = [
+        (3, features),                 # c1
+        (features, features),          # c2
+        (features, features),          # c3
+        (features, features),          # c4
+        (2 * features, features),      # c5 (cat x3, x4)
+        (2 * features, features),      # c6 (cat x2, x5)
+        (2 * features, 3 * n_iter),    # c7 (cat x1, x6)
+    ]
+    params: Params = {}
+    keys = jax.random.split(key, len(sizes))
+    for i, ((cin, cout), k) in enumerate(zip(sizes, keys), start=1):
+        fan_in = 3 * 3 * cin
+        w = jax.random.normal(k, (3, 3, cin, cout), jnp.float32)
+        w = w * jnp.sqrt(2.0 / fan_in)
+        params[f"c{i}"] = {"w": w, "b": jnp.zeros((cout,), jnp.float32)}
+    return params
+
+
+def apply_curve_cnn(
+    params: Params,
+    x: jnp.ndarray,
+    n_iter: int = 8,
+    compute_dtype: jnp.dtype = jnp.float32,
+) -> jnp.ndarray:
+    """(..., 3, H, W) in [0,1] -> curve maps (..., n_iter, 3, H, W) in [-1,1]."""
+    batched = x.ndim == 4
+    if not batched:
+        x = x[None]
+    nhwc = jnp.transpose(x, (0, 2, 3, 1))  # (B, H, W, 3)
+
+    def cv(name, h):
+        return _conv(h, params[name]["w"], params[name]["b"], compute_dtype)
+
+    x1 = jax.nn.relu(cv("c1", nhwc))
+    x2 = jax.nn.relu(cv("c2", x1))
+    x3 = jax.nn.relu(cv("c3", x2))
+    x4 = jax.nn.relu(cv("c4", x3))
+    x5 = jax.nn.relu(cv("c5", jnp.concatenate([x3, x4], axis=-1)))
+    x6 = jax.nn.relu(cv("c6", jnp.concatenate([x2, x5], axis=-1)))
+    a = jnp.tanh(cv("c7", jnp.concatenate([x1, x6], axis=-1)))  # (B,H,W,3*it)
+
+    b, h, w, _ = a.shape
+    a = a.reshape(b, h, w, n_iter, 3)
+    a = jnp.transpose(a, (0, 3, 4, 1, 2))  # (B, n_iter, 3, H, W)
+    return a if batched else a[0]
+
+
+@dataclasses.dataclass(frozen=True)
+class CurveEstimatorCNN:
+    """Convenience object bundling architecture hyperparams with init/apply."""
+
+    features: int = 32
+    n_iter: int = 8
+    compute_dtype: jnp.dtype = jnp.float32
+
+    def init(self, key: jax.Array) -> Params:
+        return init_curve_cnn(key, self.features, self.n_iter)
+
+    def apply(self, params: Params, x: jnp.ndarray) -> jnp.ndarray:
+        return apply_curve_cnn(params, x, self.n_iter, self.compute_dtype)

@@ -1,0 +1,80 @@
+"""Learned Retinex decomposition net (RetinexNet-style DecomNet).
+
+Maps an RGB image to (reflectance R in [0,1]^3, illumination L in [0,1]^1).
+Provided as the learned counterpart to ``ops.retinex`` (cf. Retinex-RAWMamba's
+decomposition stage, PAPERS.md:5). Functional init/apply like curve_cnn.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+Params = Dict[str, Dict[str, jnp.ndarray]]
+
+_CONV_DN = ("NHWC", "HWIO", "NHWC")
+
+
+def _conv(x, w, b, compute_dtype):
+    y = lax.conv_general_dilated(
+        x.astype(compute_dtype),
+        w.astype(compute_dtype),
+        window_strides=(1, 1),
+        padding="SAME",
+        dimension_numbers=_CONV_DN,
+        preferred_element_type=jnp.float32,
+    )
+    return y + b.astype(jnp.float32)
+
+
+def init_decom_net(key: jax.Array, features: int = 32) -> Params:
+    # Input = RGB plus its channel-max (4 channels), a standard DecomNet cue.
+    sizes = [(4, features), (features, features), (features, features),
+             (features, features), (features, 4)]
+    params: Params = {}
+    keys = jax.random.split(key, len(sizes))
+    for i, ((cin, cout), k) in enumerate(zip(sizes, keys), start=1):
+        fan_in = 3 * 3 * cin
+        w = jax.random.normal(k, (3, 3, cin, cout), jnp.float32)
+        w = w * jnp.sqrt(2.0 / fan_in)
+        params[f"c{i}"] = {"w": w, "b": jnp.zeros((cout,), jnp.float32)}
+    return params
+
+
+def apply_decom_net(
+    params: Params,
+    x: jnp.ndarray,
+    compute_dtype: jnp.dtype = jnp.float32,
+):
+    """(..., 3, H, W) -> (R: (..., 3, H, W), L: (..., 1, H, W)), both in [0,1]."""
+    batched = x.ndim == 4
+    if not batched:
+        x = x[None]
+    mx = jnp.max(x, axis=1, keepdims=True)
+    nhwc = jnp.transpose(jnp.concatenate([x, mx], axis=1), (0, 2, 3, 1))
+
+    h = nhwc
+    for i in range(1, 5):
+        h = jax.nn.relu(_conv(h, params[f"c{i}"]["w"], params[f"c{i}"]["b"],
+                              compute_dtype))
+    out = jax.nn.sigmoid(_conv(h, params["c5"]["w"], params["c5"]["b"],
+                               compute_dtype))
+    out = jnp.transpose(out, (0, 3, 1, 2))  # (B, 4, H, W)
+    r, l = out[:, :3], out[:, 3:4]
+    return (r, l) if batched else (r[0], l[0])
+
+
+@dataclasses.dataclass(frozen=True)
+class DecomNet:
+    features: int = 32
+    compute_dtype: jnp.dtype = jnp.float32
+
+    def init(self, key: jax.Array) -> Params:
+        return init_decom_net(key, self.features)
+
+    def apply(self, params: Params, x: jnp.ndarray):
+        return apply_decom_net(params, x, self.compute_dtype)

@@ -1,0 +1,86 @@
+"""Windowed-filter building blocks shared by the jnp path and Pallas kernels.
+
+Everything here is expressed as sums of 2-D shifts so that the fused Pallas
+kernel (``..kernels.fused_enhance``) can reproduce the math with ``pltpu.roll``
+instruction-for-instruction: same taps, same accumulation order, same
+coefficients. That shared structure is what keeps the kernel-vs-jnp parity
+tests at ~1e-6.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache
+from typing import Tuple
+
+import jax.numpy as jnp
+
+
+@lru_cache(maxsize=None)
+def gaussian_kernel_1d(radius: int, sigma: float) -> Tuple[float, ...]:
+    """Normalized 1-D Gaussian taps as Python floats (trace-time constants)."""
+    xs = [math.exp(-0.5 * (i / sigma) ** 2) for i in range(-radius, radius + 1)]
+    total = sum(xs)
+    return tuple(x / total for x in xs)
+
+
+def roll2d(x: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
+    """Circular shift over the last two axes: out[y, x] = in[y-dy, x-dx].
+
+    Wrap-around semantics — callers must pre-pad by the filter margin and
+    crop, exactly like the Pallas kernel does with ``pltpu.roll``.
+    """
+    if dy:
+        x = jnp.roll(x, dy, axis=-2)
+    if dx:
+        x = jnp.roll(x, dx, axis=-1)
+    return x
+
+
+def _shift1d_clamp(x: jnp.ndarray, d: int, axis: int) -> jnp.ndarray:
+    n = x.shape[axis]
+    out = jnp.roll(x, d, axis=axis)
+    idx = jnp.arange(n).reshape((-1,) + (1,) * (x.ndim - 1 - (axis % x.ndim)))
+    if d > 0:
+        edge = jnp.take(x, jnp.array([0]), axis=axis)
+        out = jnp.where(idx < d, edge, out)
+    elif d < 0:
+        edge = jnp.take(x, jnp.array([n - 1]), axis=axis)
+        out = jnp.where(idx >= n + d, edge, out)
+    return out
+
+
+def shift2d(x: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
+    """Edge-replicating shift over the last two axes (public-op semantics):
+    out[y, x] = in[clamp(y - dy), clamp(x - dx)]."""
+    if dy:
+        x = _shift1d_clamp(x, dy, x.ndim - 2)
+    if dx:
+        x = _shift1d_clamp(x, dx, x.ndim - 1)
+    return x
+
+
+def _separable_blur(x, radius, sigma, shift_fn):
+    taps = gaussian_kernel_1d(radius, sigma)
+    acc = None
+    for i, t in enumerate(taps):
+        term = t * shift_fn(x, i - radius, 0)
+        acc = term if acc is None else acc + term
+    out = None
+    for j, t in enumerate(taps):
+        term = t * shift_fn(acc, 0, j - radius)
+        out = term if out is None else out + term
+    return out
+
+
+def gaussian_blur(
+    x: jnp.ndarray, radius: int = 2, sigma: float = 1.0, mode: str = "clamp"
+) -> jnp.ndarray:
+    """Separable Gaussian blur over the last two axes.
+
+    mode="clamp": edge-replicate boundary (public-op semantics).
+    mode="wrap":  circular boundary — for pre-padded inputs; identical to the
+                  fused kernel's roll-based blur on the interior.
+    """
+    shift_fn = shift2d if mode == "clamp" else roll2d
+    return _separable_blur(x, radius, sigma, shift_fn)

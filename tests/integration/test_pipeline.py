@@ -1,0 +1,93 @@
+import numpy as np
+import jax.numpy as jnp
+
+import low_light_image_enhancement_tpu as llie
+from low_light_image_enhancement_tpu.config import PipelineConfig
+from low_light_image_enhancement_tpu.core import MARGIN, enhance_core_padded
+from low_light_image_enhancement_tpu.data.synth import synth_batch, synth_pair
+from low_light_image_enhancement_tpu.kernels.striping import plan_stripes
+from low_light_image_enhancement_tpu.ops.denoise import bilateral_denoise
+from low_light_image_enhancement_tpu.ops.retinex import retinex_enhance
+from low_light_image_enhancement_tpu.pipeline import EnhancePipeline, pad_planar
+
+
+def test_enhance_shape_dtype_and_brightening():
+    low, _ = synth_pair(0, 64, 96)
+    out = llie.enhance(low)
+    assert out.shape == low.shape and out.dtype == np.uint8
+    assert out.astype(np.float64).mean() > low.astype(np.float64).mean() * 1.5
+
+
+def test_enhance_batch_matches_single():
+    lows, _ = synth_batch(3, 48, 80)
+    pipe = EnhancePipeline()
+    batch = pipe.enhance_batch(lows)
+    for i in range(3):
+        single = pipe.enhance(lows[i])
+        np.testing.assert_array_equal(batch[i], single)
+
+
+def test_core_padded_equals_public_ops_interior():
+    """Wrap-shift core on the edge-padded canvas must exactly reproduce the
+    clamp-mode public ops composition away from the border. The outermost
+    1-pixel ring may differ slightly: the canonical (padded-canvas) semantics
+    boosts the replicated raw padding, while the clamp composition replicates
+    the boosted edge — two legitimate boundary conventions for the cascaded
+    windowed stages."""
+    cfg = PipelineConfig()
+    rng = np.random.default_rng(0)
+    h, w = 40, 72
+    x = jnp.asarray(rng.random((3, h, w), dtype=np.float32))
+    plan = plan_stripes(h, w, MARGIN, cfg.stripe_rows)
+    xp = pad_planar(x, plan, h, w)
+    got = np.asarray(
+        enhance_core_padded(xp, cfg)[..., MARGIN : MARGIN + h, MARGIN : MARGIN + w]
+    )
+    want_boost = retinex_enhance(
+        x, gamma=cfg.gamma, eps=cfg.illum_eps,
+        radius=cfg.blur_radius, sigma=cfg.blur_sigma, mode="clamp",
+    )
+    want = np.asarray(
+        jnp.clip(
+            bilateral_denoise(
+                want_boost, cfg.denoise_sigma, cfg.denoise_strength, mode="clamp"
+            ),
+            0.0, 1.0,
+        )
+    )
+    np.testing.assert_allclose(got[..., 1:-1, 1:-1], want[..., 1:-1, 1:-1],
+                               atol=1e-6)
+    np.testing.assert_allclose(got, want, atol=0.05)  # border ring
+
+
+def test_curve_method_runs_and_is_bounded():
+    cfg = PipelineConfig(method="curve", curve_iters=4, curve_features=8)
+    pipe = EnhancePipeline(cfg, rng_seed=0)
+    low, _ = synth_pair(1, 40, 64)
+    out = pipe.enhance(low)
+    assert out.shape == low.shape and out.dtype == np.uint8
+
+
+def test_hybrid_method_runs():
+    cfg = PipelineConfig(method="hybrid", curve_iters=2, curve_features=8)
+    pipe = EnhancePipeline(cfg)
+    low, _ = synth_pair(2, 40, 64)
+    out = pipe.enhance(low)
+    assert out.astype(np.float64).mean() > low.astype(np.float64).mean()
+
+
+def test_jit_cache_one_entry_per_shape():
+    pipe = EnhancePipeline()
+    lows, _ = synth_batch(2, 32, 48)
+    pipe.enhance_batch(lows)
+    pipe.enhance_batch(lows)
+    assert len(pipe._cache) == 1
+    pipe.enhance(lows[0])
+    assert len(pipe._cache) == 2
+
+
+def test_odd_sizes_pad_correctly():
+    for h, w in [(33, 47), (8, 128), (130, 200)]:
+        low, _ = synth_pair(3, h, w)
+        out = llie.enhance(low)
+        assert out.shape == (h, w, 3)

@@ -1,0 +1,91 @@
+"""Kernel-vs-jnp parity (SURVEY.md §4): the Pallas kernels in interpreter mode
+must reproduce the pure-jnp core to float32 rounding."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from low_light_image_enhancement_tpu.config import PipelineConfig
+from low_light_image_enhancement_tpu.core import MARGIN, enhance_core_padded
+from low_light_image_enhancement_tpu.kernels.fused_enhance import fused_retinex
+from low_light_image_enhancement_tpu.kernels.striping import (
+    extract_stripes,
+    merge_stripes,
+    plan_stripes,
+)
+from low_light_image_enhancement_tpu.kernels.tiled_denoise import tiled_denoise
+from low_light_image_enhancement_tpu.pipeline import EnhancePipeline, pad_planar
+from low_light_image_enhancement_tpu.data.synth import synth_batch
+
+
+def _padded_input(b, h, w, cfg, seed=0):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.random((b, 3, h, w), dtype=np.float32))
+    plan = plan_stripes(h, w, MARGIN, cfg.stripe_rows)
+    return pad_planar(x, plan, h, w), plan
+
+
+def test_stripe_plan_alignment():
+    for h, w in [(400, 600), (64, 64), (1080, 1920), (3, 5)]:
+        p = plan_stripes(h, w, MARGIN)
+        assert p.padded_w % 128 == 0
+        assert p.stripe_rows % 8 == 0
+        assert p.padded_h == p.n_stripes * p.stripe_rows + 2 * MARGIN
+        assert p.n_stripes * p.stripe_rows >= h
+        assert p.padded_w >= w + 2 * MARGIN
+
+
+def test_extract_merge_roundtrip():
+    cfg = PipelineConfig()
+    xp, plan = _padded_input(2, 40, 72, cfg)
+    stripes = extract_stripes(xp, plan)  # (B, 3, S, THh, Wp)
+    m = plan.margin
+    central = stripes[..., m : m + plan.stripe_rows, :]
+    merged = merge_stripes(jnp.moveaxis(central, -3, -4), plan)
+    want = xp[..., m : m + plan.n_stripes * plan.stripe_rows, :]
+    np.testing.assert_array_equal(np.asarray(merged), np.asarray(want))
+
+
+@pytest.mark.parametrize("h,w", [(40, 72), (104, 200), (33, 47)])
+def test_fused_retinex_parity_interpret(h, w):
+    cfg = PipelineConfig()
+    xp, plan = _padded_input(2, h, w, cfg, seed=1)
+    got = np.asarray(fused_retinex(xp, cfg, plan, interpret=True))
+    want_full = np.asarray(enhance_core_padded(xp, cfg))
+    m = plan.margin
+    want = want_full[..., m : m + plan.n_stripes * plan.stripe_rows, :]
+    # compare only the valid image region (padding columns may differ at the
+    # wrap-corrupted outer ring)
+    np.testing.assert_allclose(
+        got[..., :h, m : m + w], want[..., :h, m : m + w], atol=1e-6
+    )
+
+
+def test_tiled_denoise_parity_interpret():
+    cfg = PipelineConfig()
+    xp, plan = _padded_input(1, 48, 80, cfg, seed=2)
+    got = np.asarray(
+        tiled_denoise(xp, cfg.denoise_sigma, cfg.denoise_strength, plan,
+                      interpret=True)
+    )
+    want_full = np.asarray(
+        enhance_core_padded(xp, cfg.replace(method="curve", gamma=1.0),
+                            curve_maps=jnp.zeros((1, 1, 3) + xp.shape[-2:]))
+    )
+    m = plan.margin
+    want = want_full[..., m : m + plan.n_stripes * plan.stripe_rows, :]
+    np.testing.assert_allclose(
+        got[..., :48, m : m + 80], want[..., :48, m : m + 80], atol=1e-6
+    )
+
+
+def test_pipeline_pallas_interpret_matches_jnp_end_to_end():
+    lows, _ = synth_batch(2, 40, 72)
+    cfg = PipelineConfig()
+    jnp_pipe = EnhancePipeline(cfg, force_jnp=True)
+    pal_pipe = EnhancePipeline(cfg, pallas_interpret=True)
+    assert pal_pipe._use_pallas
+    a = jnp_pipe.enhance_batch(lows)
+    b = pal_pipe.enhance_batch(lows)
+    # identical math -> at most a 1-count quantization flip anywhere
+    assert np.abs(a.astype(np.int32) - b.astype(np.int32)).max() <= 1

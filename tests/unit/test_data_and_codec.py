@@ -1,0 +1,59 @@
+import numpy as np
+
+from low_light_image_enhancement_tpu.data.lol import LOLDataset
+from low_light_image_enhancement_tpu.data.synth import synth_batch, synth_pair
+from low_light_image_enhancement_tpu.io.codec import decode_image, encode_image
+
+
+def test_synth_pair_deterministic_and_dark():
+    low1, high1 = synth_pair(3, 32, 48)
+    low2, high2 = synth_pair(3, 32, 48)
+    np.testing.assert_array_equal(low1, low2)
+    np.testing.assert_array_equal(high1, high2)
+    assert low1.shape == (32, 48, 3) and low1.dtype == np.uint8
+    assert low1.astype(np.float64).mean() < high1.astype(np.float64).mean() * 0.5
+
+
+def test_synth_batch_shapes():
+    lows, highs = synth_batch(4, 16, 24)
+    assert lows.shape == highs.shape == (4, 16, 24, 3)
+
+
+def test_lol_dataset_synthetic_fallback(tmp_path):
+    ds = LOLDataset(root=str(tmp_path / "nope"), split="eval15", size=(32, 48))
+    assert ds.is_synthetic and len(ds) == 15
+    low, high, name = ds[0]
+    assert low.shape == (32, 48, 3) and "synth" in name
+    lows, highs = ds.as_batch(4)
+    assert lows.shape == (4, 32, 48, 3)
+
+
+def test_lol_dataset_reads_real_layout(tmp_path):
+    root = tmp_path / "LOL"
+    for sub in ("low", "high"):
+        (root / "eval15" / sub).mkdir(parents=True)
+    img = np.random.default_rng(0).integers(0, 255, (8, 8, 3), dtype=np.uint8)
+    for sub in ("low", "high"):
+        encode_image(img, root / "eval15" / sub / "1.png")
+    ds = LOLDataset(root=str(root), split="eval15")
+    assert not ds.is_synthetic and len(ds) == 1
+    low, high, name = ds[0]
+    np.testing.assert_array_equal(low, img)
+    assert name == "1.png"
+
+
+def test_codec_png_roundtrip(tmp_path):
+    img = np.random.default_rng(1).integers(0, 255, (20, 30, 3), dtype=np.uint8)
+    p = tmp_path / "x.png"
+    encode_image(img, p)
+    np.testing.assert_array_equal(decode_image(p), img)
+    # bytes roundtrip
+    data = encode_image(img, format="PNG")
+    np.testing.assert_array_equal(decode_image(data), img)
+
+
+def test_codec_jpeg_lossy_close(tmp_path):
+    img = np.full((32, 32, 3), 128, dtype=np.uint8)
+    data = encode_image(img, format="JPEG", quality=95)
+    out = decode_image(data)
+    assert np.abs(out.astype(int) - 128).max() < 6
