@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Headline benchmark: 600x400 (LOL-sized) enhancement throughput per chip.
+
+Prints exactly ONE JSON line on stdout:
+  {"metric": "images_per_sec_per_chip_600x400", "value": N,
+   "unit": "images/sec/chip", "vs_baseline": N / 1000}
+
+Baseline: BASELINE.json target of >=1000 600x400 images/sec/chip on v5e.
+
+Method: batched u8-in/u8-out device graph (fused Pallas retinex path on TPU)
+with *chained* iterations — each iteration's input is the previous output, so
+device work cannot overlap or be skipped — and a single scalar fetch at the
+end as the sync point. Rate is computed from the marginal time between a
+short and a long chain, which cancels the fixed sync/dispatch latency of the
+remote-tunnel setups where block_until_ready is unreliable.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _sync(x) -> None:
+    # A scalar fetch is a reliable sync point on every backend (including
+    # tunneled PJRT where block_until_ready can return early).
+    _ = int(x[(0,) * x.ndim])
+
+
+def _time_chain(step_fn, x0, n: int) -> float:
+    t0 = time.perf_counter()
+    x = x0
+    for _ in range(n):
+        x = step_fn(x)
+    _sync(x)
+    return time.perf_counter() - t0
+
+
+def bench_throughput(
+    batch: int = 64,
+    h: int = 400,
+    w: int = 600,
+    repeats: int = 5,
+    n_short: int = 4,
+    n_long: int = 20,
+    method: str = "retinex",
+) -> dict:
+    from low_light_image_enhancement_tpu.config import PipelineConfig
+    from low_light_image_enhancement_tpu.data.synth import synth_batch
+    from low_light_image_enhancement_tpu.pipeline import EnhancePipeline
+
+    cfg = PipelineConfig(method=method)
+    pipe = EnhancePipeline(cfg)
+    lows, _ = synth_batch(min(batch, 8), h, w)
+    lows = np.tile(lows, (-(-batch // lows.shape[0]), 1, 1, 1))[:batch]
+    dev = jnp.asarray(lows)
+
+    step = pipe.enhance_batch_device
+    _sync(step(dev))  # compile + warmup
+
+    rates = []
+    for _ in range(repeats):
+        t_short = _time_chain(step, dev, n_short)
+        t_long = _time_chain(step, dev, n_long)
+        marginal = (t_long - t_short) / (n_long - n_short)
+        if marginal > 0:
+            rates.append(batch / marginal)
+    value = float(np.median(rates))
+    return {
+        "images_per_sec": value,
+        "batch": batch,
+        "backend": jax.default_backend(),
+        "rates": [round(r, 1) for r in rates],
+    }
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch", type=int, default=64)
+    parser.add_argument("--repeats", type=int, default=5)
+    args = parser.parse_args()
+
+    res = bench_throughput(batch=args.batch, repeats=args.repeats)
+    value = res["images_per_sec"]
+    print(
+        json.dumps(
+            {
+                "metric": "images_per_sec_per_chip_600x400",
+                "value": round(value, 2),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(value / 1000.0, 4),
+            }
+        )
+    )
+    print(
+        f"[bench] backend={res['backend']} batch={res['batch']} "
+        f"rates={res['rates']}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,135 @@
+"""Command-line interface: ``llie enhance | eval | bench | train``.
+
+Spec: BASELINE.json north_star public API ("enhance(image)->image, dataset
+eval scripts") exposed as a CLI (SURVEY.md L6).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from typing import List, Optional
+
+from low_light_image_enhancement_tpu.config import PRESETS, PipelineConfig
+
+
+def _add_config_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--preset", choices=sorted(PRESETS), default=None,
+                   help="named benchmark config (BASELINE.json 1-5)")
+    p.add_argument("--method", choices=["retinex", "curve", "hybrid"],
+                   default=None)
+    p.add_argument("--gamma", type=float, default=None)
+    p.add_argument("--denoise-strength", type=float, default=None)
+    p.add_argument("--no-pallas", action="store_true",
+                   help="force the pure-jnp reference path")
+
+
+def _build_config(args) -> PipelineConfig:
+    cfg = PRESETS[args.preset] if args.preset else PipelineConfig()
+    over = {}
+    if args.method is not None:
+        over["method"] = args.method
+    if args.gamma is not None:
+        over["gamma"] = args.gamma
+    if getattr(args, "denoise_strength", None) is not None:
+        over["denoise_strength"] = args.denoise_strength
+    if args.no_pallas:
+        over["use_pallas"] = False
+    return cfg.replace(**over) if over else cfg
+
+
+def cmd_enhance(args) -> int:
+    from low_light_image_enhancement_tpu.pipeline import EnhancePipeline
+
+    pipe = EnhancePipeline(_build_config(args))
+    pipe.enhance_file(args.input, args.output)
+    print(f"wrote {args.output}")
+    return 0
+
+
+def cmd_eval(args) -> int:
+    from low_light_image_enhancement_tpu.data.lol import LOLDataset
+    from low_light_image_enhancement_tpu.eval.runner import eval_lol
+    from low_light_image_enhancement_tpu.pipeline import EnhancePipeline
+
+    ds = LOLDataset(root=args.data_dir, split=args.split)
+    pipe = EnhancePipeline(_build_config(args))
+    report = eval_lol(pipe, ds, max_images=args.max_images,
+                      parity=not args.no_parity)
+    print(json.dumps(report, indent=2))
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import bench as bench_mod  # repo-root bench.py when run from checkout
+
+    res = bench_mod.bench_throughput(batch=args.batch, repeats=args.repeats)
+    print(json.dumps(res))
+    return 0
+
+
+def cmd_train(args) -> int:
+    from low_light_image_enhancement_tpu.train import TrainConfig, train_curve_cnn
+    from low_light_image_enhancement_tpu.utils.logging import JSONLLogger, get_logger
+
+    tcfg = TrainConfig(
+        batch_size=args.batch, crop=args.crop, steps=args.steps,
+        learning_rate=args.lr,
+    )
+    logger = get_logger()
+    jsonl = JSONLLogger(args.log_file) if args.log_file else None
+
+    def log_fn(m):
+        logger.info("step %s loss %.4f", m.get("step"), m.get("loss", 0.0))
+        if jsonl:
+            jsonl.log(m)
+
+    train_curve_cnn(
+        tcfg, checkpoint_dir=args.checkpoint_dir, resume=args.resume,
+        log_fn=log_fn,
+    )
+    return 0
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="llie", description="TPU-native low-light image enhancement"
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("enhance", help="enhance one image file")
+    p.add_argument("input")
+    p.add_argument("output")
+    _add_config_args(p)
+    p.set_defaults(fn=cmd_enhance)
+
+    p = sub.add_parser("eval", help="run the LOL eval harness")
+    p.add_argument("--data-dir", default=None)
+    p.add_argument("--split", default="eval15")
+    p.add_argument("--max-images", type=int, default=None)
+    p.add_argument("--no-parity", action="store_true")
+    _add_config_args(p)
+    p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser("bench", help="throughput benchmark")
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--repeats", type=int, default=5)
+    p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("train", help="zero-reference curve-CNN training")
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--crop", type=int, default=512)
+    p.add_argument("--steps", type=int, default=1000)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--log-file", default=None)
+    p.set_defaults(fn=cmd_train)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

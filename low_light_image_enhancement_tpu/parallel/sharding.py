@@ -1,0 +1,116 @@
+"""Mesh construction and sharded execution wrappers.
+
+TPU-native scaling (SURVEY.md §5): a 2-D ``Mesh`` with a ``data`` axis
+(batch parallelism) and a ``spatial`` axis (image rows, for frames too large
+or too latency-sensitive for one chip — BASELINE.json config 5). XLA
+collectives over ICI do all communication: ``ppermute`` halo exchange for
+windowed filters, automatic gradient ``psum`` for sharded training.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from low_light_image_enhancement_tpu.config import PipelineConfig
+from low_light_image_enhancement_tpu.core import MARGIN, enhance_core_padded
+from low_light_image_enhancement_tpu.kernels.fused_enhance import fused_retinex
+from low_light_image_enhancement_tpu.kernels.striping import plan_stripes
+from low_light_image_enhancement_tpu.parallel.halo import halo_pad_local
+
+
+def make_mesh(
+    n_data: Optional[int] = None,
+    n_spatial: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a ("data", "spatial") mesh over the available devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        if len(devices) % n_spatial:
+            raise ValueError(
+                f"{len(devices)} devices not divisible by n_spatial={n_spatial}"
+            )
+        n_data = len(devices) // n_spatial
+    need = n_data * n_spatial
+    if need > len(devices):
+        raise ValueError(f"need {need} devices, have {len(devices)}")
+    grid = np.asarray(devices[:need]).reshape(n_data, n_spatial)
+    return Mesh(grid, ("data", "spatial"))
+
+
+def shard_batch_fn(fn: Callable, mesh: Mesh) -> Callable:
+    """Data-parallel wrapper: shards arg 0's leading (batch) dim over every
+    mesh device and lets XLA propagate shardings through the jitted fn."""
+    jitted = jax.jit(fn)
+    spec = NamedSharding(mesh, P(("data", "spatial")))
+
+    @functools.wraps(fn)
+    def wrapped(batch, *rest):
+        batch = jax.device_put(batch, spec)
+        return jitted(batch, *rest)
+
+    return wrapped
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def enhance_spatial_sharded(
+    x: jnp.ndarray,
+    cfg: PipelineConfig,
+    mesh: Mesh,
+    use_pallas: bool = False,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Spatially-sharded retinex enhance (config 5: per-shard denoise).
+
+    Args:
+      x: (B, 3, H, W) f32 planar batch in [0, 1] (host or device).
+      mesh: mesh with a "spatial" axis; rows shard across it, batch across
+        "data". Output is bit-identical to the single-device padded-canvas
+        path (halo exchange reproduces the same neighbor/edge rows).
+
+    Returns (B, 3, H, W) f32 enhanced.
+    """
+    if cfg.method != "retinex":
+        raise NotImplementedError("sharded path supports method='retinex'")
+    n_sp = mesh.shape["spatial"]
+    b, c, h, w = x.shape
+    m = MARGIN
+    hl = _round_up(-(-h // n_sp), 8)  # rows per shard
+    h_core = n_sp * hl
+    wp = _round_up(w + 2 * m, 128)
+    xc = jnp.pad(
+        x, ((0, 0), (0, 0), (0, h_core - h), (m, wp - w - m)), mode="edge"
+    )
+
+    def local_fn(xl):  # (B/nd, 3, hl, wp) per device
+        canvas = halo_pad_local(xl, m, "spatial")  # (.., hl + 2m, wp)
+        if use_pallas:
+            plan = plan_stripes(hl, wp - 2 * m, m, cfg.stripe_rows)
+            extra = plan.padded_h - (hl + 2 * m)
+            if extra:
+                canvas = jnp.pad(
+                    canvas, ((0, 0), (0, 0), (0, extra), (0, 0)), mode="edge"
+                )
+            out = fused_retinex(canvas, cfg, plan, interpret=interpret)
+            return out[..., :hl, :]
+        yp = enhance_core_padded(canvas, cfg)
+        return yp[..., m : m + hl, :]
+
+    sharded = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=P("data", None, "spatial", None),
+        out_specs=P("data", None, "spatial", None),
+    )
+    out_core = sharded(xc)
+    return out_core[..., :h, m : m + w]

@@ -1,0 +1,250 @@
+"""Zero-reference training for the curve-estimation CNN (BASELINE.json
+config 3: 512x512 batch-64 on a v5e chip).
+
+Zero-DCE-family losses — no paired ground truth needed:
+  * exposure control: local mean luminance pulled toward a target level
+  * color constancy: channel means kept close (gray-world prior)
+  * spatial consistency: local gradients of output match the input
+  * illumination smoothness: TV penalty on the curve parameter maps
+
+Data parallelism is sharding-first: params live replicated, the batch is
+sharded over the mesh, and XLA inserts the gradient all-reduce over ICI
+(SURVEY.md §3.3) — no explicit pmap/psum plumbing.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from low_light_image_enhancement_tpu.config import PipelineConfig
+from low_light_image_enhancement_tpu.models.curve_cnn import (
+    apply_curve_cnn,
+    init_curve_cnn,
+)
+from low_light_image_enhancement_tpu.ops.curves import apply_curves
+
+
+# --------------------------------------------------------------------- loss #
+
+def _avg_pool_plane(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Non-overlapping k x k mean pool over the last two axes."""
+    return lax.reduce_window(
+        x, 0.0, lax.add, (1,) * (x.ndim - 2) + (k, k),
+        (1,) * (x.ndim - 2) + (k, k), "VALID",
+    ) / float(k * k)
+
+
+def exposure_loss(y: jnp.ndarray, level: float = 0.6, patch: int = 16):
+    """Mean squared distance of 16x16 local luminance from the target."""
+    gray = jnp.mean(y, axis=-3)
+    pooled = _avg_pool_plane(gray, patch)
+    return jnp.mean((pooled - level) ** 2)
+
+
+def color_constancy_loss(y: jnp.ndarray):
+    mean_rgb = jnp.mean(y, axis=(-2, -1))  # (..., 3)
+    r, g, b = mean_rgb[..., 0], mean_rgb[..., 1], mean_rgb[..., 2]
+    return jnp.mean((r - g) ** 2 + (r - b) ** 2 + (g - b) ** 2)
+
+
+def spatial_consistency_loss(x: jnp.ndarray, y: jnp.ndarray, patch: int = 4):
+    """Pooled-gradient agreement between input and output."""
+    gx = _avg_pool_plane(jnp.mean(x, axis=-3), patch)
+    gy = _avg_pool_plane(jnp.mean(y, axis=-3), patch)
+
+    def grads(g):
+        dh = g[..., 1:, :] - g[..., :-1, :]
+        dw = g[..., :, 1:] - g[..., :, :-1]
+        return dh, dw
+
+    xh, xw = grads(gx)
+    yh, yw = grads(gy)
+    return jnp.mean((jnp.abs(yh) - jnp.abs(xh)) ** 2) + jnp.mean(
+        (jnp.abs(yw) - jnp.abs(xw)) ** 2
+    )
+
+
+def smoothness_loss(a: jnp.ndarray):
+    """Total variation of the curve maps (..., n_iter, 3, H, W)."""
+    dh = a[..., 1:, :] - a[..., :-1, :]
+    dw = a[..., :, 1:] - a[..., :, :-1]
+    return jnp.mean(dh * dh) + jnp.mean(dw * dw)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    features: int = 32
+    n_iter: int = 8
+    batch_size: int = 64
+    crop: int = 512
+    learning_rate: float = 1e-4
+    weight_decay: float = 1e-4
+    steps: int = 1000
+    # loss weights (Zero-DCE-style magnitudes)
+    w_exposure: float = 10.0
+    w_color: float = 5.0
+    w_spatial: float = 1.0
+    w_smooth: float = 200.0
+    exposure_level: float = 0.6
+    log_every: int = 50
+    checkpoint_every: int = 500
+    compute_dtype: str = "float32"
+
+
+def zero_reference_loss(
+    params, batch: jnp.ndarray, tcfg: TrainConfig
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """batch: (B, 3, H, W) f32 low-light input in [0, 1]."""
+    a = apply_curve_cnn(
+        params, batch, n_iter=tcfg.n_iter,
+        compute_dtype=jnp.dtype(tcfg.compute_dtype),
+    )
+    y = jnp.clip(apply_curves(batch, a), 0.0, 1.0)
+    l_exp = exposure_loss(y, tcfg.exposure_level)
+    l_col = color_constancy_loss(y)
+    l_spa = spatial_consistency_loss(batch, y)
+    l_tv = smoothness_loss(a)
+    total = (
+        tcfg.w_exposure * l_exp
+        + tcfg.w_color * l_col
+        + tcfg.w_spatial * l_spa
+        + tcfg.w_smooth * l_tv
+    )
+    return total, {
+        "loss": total, "exposure": l_exp, "color": l_col,
+        "spatial": l_spa, "smooth": l_tv,
+    }
+
+
+# --------------------------------------------------------------------- step #
+
+def make_optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
+    return optax.adamw(tcfg.learning_rate, weight_decay=tcfg.weight_decay)
+
+
+def make_train_step(
+    tcfg: TrainConfig, mesh: Optional[Mesh] = None
+) -> Callable:
+    """Returns jitted ``step(params, opt_state, batch) ->
+    (params, opt_state, metrics)``. With a mesh, the batch is sharded over
+    all mesh axes and params are replicated; XLA all-reduces gradients."""
+    optimizer = make_optimizer(tcfg)
+
+    def step(params, opt_state, batch):
+        (_, metrics), grads = jax.value_and_grad(
+            zero_reference_loss, has_aux=True
+        )(params, batch, tcfg)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, metrics
+
+    if mesh is None:
+        return jax.jit(step)
+
+    batch_sharding = NamedSharding(mesh, P(("data", "spatial")))
+    replicated = NamedSharding(mesh, P())
+    return jax.jit(
+        step,
+        in_shardings=(replicated, replicated, batch_sharding),
+        out_shardings=(replicated, replicated, replicated),
+    )
+
+
+def init_train_state(
+    tcfg: TrainConfig, seed: int = 0
+) -> Tuple[Any, Any]:
+    params = init_curve_cnn(
+        jax.random.PRNGKey(seed), features=tcfg.features, n_iter=tcfg.n_iter
+    )
+    opt_state = make_optimizer(tcfg).init(params)
+    return params, opt_state
+
+
+# --------------------------------------------------------------------- loop #
+
+def train_curve_cnn(
+    tcfg: TrainConfig = TrainConfig(),
+    data_iter=None,
+    mesh: Optional[Mesh] = None,
+    checkpoint_dir: Optional[str] = None,
+    resume: bool = False,
+    log_fn: Optional[Callable[[Dict[str, float]], None]] = None,
+    seed: int = 0,
+):
+    """Config-3 training loop. ``data_iter`` yields (B, 3, H, W) f32 batches;
+    defaults to synthetic low-light crops. Returns (params, metrics_history).
+    """
+    import numpy as np
+
+    from low_light_image_enhancement_tpu.data.synth import synth_batch
+
+    params, opt_state = init_train_state(tcfg, seed)
+    start_step = 0
+    ckpt = None
+    if checkpoint_dir is not None:
+        from low_light_image_enhancement_tpu.utils.checkpoint import (
+            CheckpointManager,
+        )
+
+        ckpt = CheckpointManager(checkpoint_dir)
+        if resume:
+            restored = ckpt.restore_latest(
+                {"params": params, "opt_state": opt_state, "step": 0}
+            )
+            if restored is not None:
+                params = restored["params"]
+                opt_state = restored["opt_state"]
+                start_step = int(restored["step"])
+
+    if data_iter is None:
+        def _synth_iter():
+            i = 0
+            while True:
+                lows, _ = synth_batch(
+                    tcfg.batch_size, tcfg.crop, tcfg.crop, seed=seed, start=i
+                )
+                i += tcfg.batch_size
+                yield jnp.transpose(
+                    jnp.asarray(lows, jnp.float32) / 255.0, (0, 3, 1, 2)
+                )
+        data_iter = _synth_iter()
+
+    step_fn = make_train_step(tcfg, mesh)
+    history = []
+    t0 = time.time()
+    for step_idx in range(start_step, tcfg.steps):
+        batch = next(data_iter)
+        params, opt_state, metrics = step_fn(params, opt_state, batch)
+        if (step_idx + 1) % tcfg.log_every == 0 or step_idx == start_step:
+            m = {k: float(v) for k, v in metrics.items()}
+            m["step"] = step_idx
+            m["imgs_per_sec"] = (
+                tcfg.batch_size * (step_idx + 1 - start_step)
+                / max(time.time() - t0, 1e-9)
+            )
+            history.append(m)
+            if log_fn is not None:
+                log_fn(m)
+        if ckpt is not None and (step_idx + 1) % tcfg.checkpoint_every == 0:
+            ckpt.save(
+                {"params": params, "opt_state": opt_state,
+                 "step": step_idx + 1},
+                step=step_idx + 1,
+            )
+    if ckpt is not None:
+        if tcfg.steps > start_step and ckpt.latest_step() != tcfg.steps:
+            ckpt.save(
+                {"params": params, "opt_state": opt_state,
+                 "step": tcfg.steps},
+                step=tcfg.steps,
+            )
+        ckpt.wait()
+    return params, history

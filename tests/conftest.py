@@ -1,12 +1,12 @@
 """Test env: force CPU JAX with 8 fake devices (standard JAX trick for
-testing pmap/shard_map logic without a TPU slice — SURVEY.md §4). Must run
-before jax is imported anywhere."""
+testing pmap/shard_map logic without a TPU slice — SURVEY.md §4).
 
-import os
+This image's sitecustomize imports jax at interpreter startup and registers
+the `axon` TPU plugin, so env vars set here are too late; instead we override
+via jax.config before any backend is initialized (registration alone doesn't
+initialize backends)."""
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "--xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)

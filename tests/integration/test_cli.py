@@ -1,0 +1,44 @@
+import json
+
+import numpy as np
+
+from low_light_image_enhancement_tpu.cli import main
+from low_light_image_enhancement_tpu.data.synth import synth_pair
+from low_light_image_enhancement_tpu.io.codec import decode_image, encode_image
+
+
+def test_cli_enhance(tmp_path, capsys):
+    low, _ = synth_pair(0, 40, 64)
+    src = tmp_path / "in.png"
+    dst = tmp_path / "out.png"
+    encode_image(low, src)
+    assert main(["enhance", str(src), str(dst)]) == 0
+    out = decode_image(dst)
+    assert out.shape == low.shape
+    assert out.astype(float).mean() > low.astype(float).mean()
+
+
+def test_cli_enhance_with_overrides(tmp_path):
+    low, _ = synth_pair(1, 32, 48)
+    src = tmp_path / "in.png"
+    encode_image(low, src)
+    assert main([
+        "enhance", str(src), str(tmp_path / "o.png"),
+        "--gamma", "0.6", "--no-pallas", "--method", "retinex",
+    ]) == 0
+
+
+def test_cli_eval_json_report(tmp_path, capsys, monkeypatch):
+    monkeypatch.setenv("LLIE_LOL_DIR", str(tmp_path / "missing"))
+    assert main(["eval", "--max-images", "2", "--no-parity"]) == 0
+    report = json.loads(capsys.readouterr().out)
+    assert report["n_images"] == 2.0
+    assert "psnr_mean" in report and "ssim_mean" in report
+
+
+def test_cli_train_tiny(tmp_path):
+    assert main([
+        "train", "--batch", "2", "--crop", "32", "--steps", "2",
+        "--log-file", str(tmp_path / "log.jsonl"),
+    ]) == 0
+    assert (tmp_path / "log.jsonl").exists()

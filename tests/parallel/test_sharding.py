@@ -1,0 +1,94 @@
+"""Distributed logic on 8 fake CPU devices (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+
+from low_light_image_enhancement_tpu.config import PipelineConfig
+from low_light_image_enhancement_tpu.core import MARGIN, enhance_core_padded
+from low_light_image_enhancement_tpu.kernels.striping import plan_stripes
+from low_light_image_enhancement_tpu.parallel import (
+    enhance_spatial_sharded,
+    halo_pad_local,
+    make_mesh,
+    shard_batch_fn,
+)
+from low_light_image_enhancement_tpu.pipeline import pad_planar
+
+
+def test_eight_fake_devices_present():
+    assert len(jax.devices()) == 8
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh(n_spatial=4)
+    assert mesh.shape == {"data": 2, "spatial": 4}
+    mesh = make_mesh(n_data=8)
+    assert mesh.shape == {"data": 8, "spatial": 1}
+    with pytest.raises(ValueError):
+        make_mesh(n_data=16, n_spatial=1)
+
+
+def test_halo_pad_local_matches_global_edge_pad():
+    """Sharded halo exchange must rebuild exactly the rows a single device
+    would see from jnp.pad(mode='edge')."""
+    mesh = make_mesh(n_data=1, n_spatial=8)
+    rng = np.random.default_rng(0)
+    m = 3
+    x = jnp.asarray(rng.random((2, 64, 16), dtype=np.float32))  # (B, H, W)
+
+    def local(xl):
+        return halo_pad_local(xl, m, "spatial")
+
+    got = shard_map(
+        local, mesh=mesh, in_specs=P(None, "spatial", None),
+        out_specs=P(None, "spatial", None),
+    )(x)
+    # got: per-shard canvases concatenated: 8 * (8 + 2m) rows
+    got = np.asarray(got).reshape(2, 8, 8 + 2 * m, 16)
+    want_pad = np.asarray(jnp.pad(x, ((0, 0), (m, m), (0, 0)), mode="edge"))
+    for s in range(8):
+        want = want_pad[:, s * 8 : s * 8 + 8 + 2 * m]
+        np.testing.assert_array_equal(got[:, s], want)
+
+
+@pytest.mark.parametrize("n_spatial", [2, 4, 8])
+def test_spatial_sharded_matches_single_device(n_spatial):
+    cfg = PipelineConfig()
+    mesh = make_mesh(n_data=1, n_spatial=n_spatial)
+    rng = np.random.default_rng(1)
+    h, w = 96, 130
+    x = jnp.asarray(rng.random((2, 3, h, w), dtype=np.float32))
+
+    got = np.asarray(enhance_spatial_sharded(x, cfg, mesh))
+
+    plan = plan_stripes(h, w, MARGIN, cfg.stripe_rows)
+    xp = pad_planar(x, plan, h, w)
+    want = np.asarray(
+        enhance_core_padded(xp, cfg)[..., MARGIN : MARGIN + h, MARGIN : MARGIN + w]
+    )
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_spatial_sharded_with_data_axis():
+    cfg = PipelineConfig()
+    mesh = make_mesh(n_data=2, n_spatial=4)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.random((4, 3, 64, 100), dtype=np.float32))
+    got = np.asarray(enhance_spatial_sharded(x, cfg, mesh))
+    single = make_mesh(n_data=1, n_spatial=1, devices=jax.devices()[:1])
+    want = np.asarray(enhance_spatial_sharded(x, cfg, single))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_shard_batch_fn_runs_and_matches():
+    mesh = make_mesh()
+    f = lambda x: jnp.sin(x) * 2.0
+    wrapped = shard_batch_fn(f, mesh)
+    x = jnp.arange(16.0).reshape(16, 1)
+    np.testing.assert_allclose(
+        np.asarray(wrapped(x)), np.asarray(f(x)), atol=1e-6
+    )
