@@ -40,7 +40,8 @@ class PipelineConfig:
 
     # --- execution -----------------------------------------------------------
     use_pallas: bool = True      # fuse the per-pixel graph into a Pallas kernel
-    stripe_rows: int = 128       # Pallas stripe height (rows per grid step)
+    stripe_rows: int = 1024      # cap on Pallas stripe height (rows/grid step);
+                                 # actual height is VMEM-budgeted (striping.py)
     compute_dtype: str = "float32"
 
     # --- sharding (config 5) -------------------------------------------------

@@ -1,11 +1,13 @@
 """Fused Retinex-enhance Pallas kernel (the config-2 hot path).
 
 One grid step = one VMEM-resident image stripe. Inside the kernel:
-u8-normalized f32 RGB -> max-RGB illumination -> separable Gaussian blur ->
+u8 -> f32 normalization -> max-RGB illumination -> separable Gaussian blur ->
 clip -> gamma boost (algebraic form ``x * L**(gamma-1)``) -> 3x3 bilateral
-denoise -> clip. A single HBM read + write per stripe; every intermediate
-lives in VMEM/registers. Math mirrors ``core.enhance_core_padded`` with
-``method='retinex'`` tap-for-tap.
+denoise -> clip -> u8 quantization. A single HBM read + write per stripe —
+in u8, so the whole pipeline moves ~1.4 MB/image of HBM traffic instead of
+the ~28 MB a staged f32 graph would; every intermediate lives in
+VMEM/registers. Math mirrors ``core.enhance_core_padded`` +
+``ops.colorspace.quantize_u8`` tap-for-tap.
 
 Spec: BASELINE.json north_star ("all per-pixel transforms ... fuse into
 Pallas kernels"), target >=1000 600x400 img/s/chip.
@@ -56,9 +58,15 @@ def _blur_plane(l0, taps, radius):
 
 
 def _retinex_kernel(
-    x_ref, o_ref, *, taps, radius, gamma, eps, inv2s2, strength, margin, th
+    x_ref, o_ref, *, taps, radius, gamma, eps, inv2s2, strength, margin, th,
+    u8_io,
 ):
-    x = x_ref[0, 0]  # (3, THh, Wp) f32
+    raw = x_ref[0, 0]  # (3, THh, Wp)
+    if u8_io:
+        # Mosaic has no direct u8<->f32 cast; bridge through int32.
+        x = raw.astype(jnp.int32).astype(jnp.float32) * (1.0 / 255.0)
+    else:
+        x = raw
     l0 = jnp.maximum(jnp.maximum(x[0], x[1]), x[2])
     l = jnp.clip(_blur_plane(l0, taps, radius), eps, 1.0)
     boost = jnp.exp((gamma - 1.0) * jnp.log(l))
@@ -66,7 +74,11 @@ def _retinex_kernel(
         y = jnp.clip(x[c] * boost, 0.0, 1.0)
         if strength > 0.0:
             y = bilateral_core(y, inv2s2, strength, kroll2d)
-        o_ref[0, 0, c] = jnp.clip(y, 0.0, 1.0)[margin : margin + th, :]
+        y = jnp.clip(y, 0.0, 1.0)[margin : margin + th, :]
+        if u8_io:
+            y = jnp.clip(jnp.round(y * 255.0), 0.0, 255.0)
+            y = y.astype(jnp.int32).astype(jnp.uint8)
+        o_ref[0, 0, c] = y
 
 
 def fused_retinex(
@@ -78,16 +90,19 @@ def fused_retinex(
     """Run the fused kernel over a padded planar batch.
 
     Args:
-      xp: (B, 3, Hp, Wp) f32 padded canvas (see ``pipeline.pad_planar``).
+      xp: (B, 3, Hp, Wp) padded canvas (see ``pipeline.pad_planar``). dtype
+        uint8 (values 0..255, the fast path — conversion happens in-kernel)
+        or float32 in [0, 1]; the output dtype matches.
       plan: stripe plan for (Hp, Wp).
       interpret: run in Pallas interpreter mode (CPU tests).
 
     Returns:
-      (B, 3, S*TH, Wp) f32 — padded rows [margin, margin + S*TH), so row 0 of
+      (B, 3, S*TH, Wp) — padded rows [margin, margin + S*TH), so row 0 of
       the result is row 0 of the original unpadded image. Columns still carry
       the horizontal padding; the caller crops [margin, margin + W).
     """
     b = xp.shape[0]
+    u8_io = xp.dtype == jnp.uint8
     thh = plan.stripe_rows + 2 * plan.margin
     stripes = extract_stripes(xp, plan)  # (B, 3, S, THh, Wp)
     stripes = jnp.transpose(stripes, (0, 2, 1, 3, 4))  # (B, S, 3, THh, Wp)
@@ -102,6 +117,7 @@ def fused_retinex(
         strength=cfg.denoise_strength,
         margin=plan.margin,
         th=plan.stripe_rows,
+        u8_io=u8_io,
     )
     out = pl.pallas_call(
         kernel,
@@ -120,7 +136,7 @@ def fused_retinex(
         ),
         out_shape=jax.ShapeDtypeStruct(
             (b, plan.n_stripes, 3, plan.stripe_rows, plan.padded_w),
-            jnp.float32,
+            xp.dtype,
         ),
         interpret=interpret,
     )(stripes)
@@ -132,8 +148,8 @@ def fused_retinex_auto(
 ) -> jnp.ndarray:
     """Convenience wrapper deriving the stripe plan from ``xp``'s shape."""
     hp, wp = xp.shape[-2], xp.shape[-1]
-    th_target = cfg.stripe_rows
-    plan = plan_stripes(hp - 2 * MARGIN, wp - 2 * MARGIN, MARGIN, th_target)
+    plan = plan_stripes(hp - 2 * MARGIN, wp - 2 * MARGIN, MARGIN,
+                        cfg.stripe_rows)
     if plan.padded_h != hp or plan.padded_w != wp:
         raise ValueError(
             f"padded shape {(hp, wp)} inconsistent with plan {plan}"

@@ -29,13 +29,24 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def plan_stripes(h: int, w: int, margin: int, target_rows: int = 128) -> StripePlan:
-    """Choose a stripe height near ``target_rows`` that tiles ``h`` with
-    minimal overshoot, keeping every dimension hardware-aligned."""
-    s = max(1, -(-h // target_rows))
+# Per-stripe f32 RGB working-set budget. The kernel holds a handful of
+# (THh, Wp) f32 planes (input planes, blur temps, per-channel output); 6 MB
+# of input-canvas footprint keeps the peak comfortably inside 16 MB VMEM
+# while letting a whole 600x400 LOL image be ONE stripe (no overlap copies).
+_VMEM_STRIPE_BUDGET = 6 * 1024 * 1024
+
+
+def plan_stripes(
+    h: int, w: int, margin: int, max_rows: int = 1024
+) -> StripePlan:
+    """Choose the largest VMEM-fitting stripe height (fewest stripes, least
+    halo-overlap recompute) that tiles ``h``, hardware-aligned."""
+    wp = _round_up(w + 2 * margin, 128)
+    budget_rows = _VMEM_STRIPE_BUDGET // (3 * 4 * wp) - 2 * margin
+    cap = max(8, min(max_rows, (budget_rows // 8) * 8))
+    s = max(1, -(-h // cap))
     th = _round_up(-(-h // s), 8)
     hp = s * th + 2 * margin
-    wp = _round_up(w + 2 * margin, 128)
     return StripePlan(s, th, hp, wp, margin)
 
 

@@ -56,6 +56,14 @@ def _enhance_u8_batch(
     """Traced body: (B, H, W, 3) u8 -> (B, H, W, 3) u8 enhanced."""
     _, h, w, _ = imgs_u8.shape
     m = plan.margin
+
+    if use_pallas and cfg.method == "retinex":
+        # u8 end-to-end fast path: pad/stripe in u8, normalize + quantize
+        # inside the fused kernel -> ~5x less HBM traffic than f32 staging.
+        xpu = pad_planar(jnp.transpose(imgs_u8, (0, 3, 1, 2)), plan, h, w)
+        canvas = fused_retinex(xpu, cfg, plan, interpret=pallas_interpret)
+        return jnp.transpose(canvas[:, :, :h, m : m + w], (0, 2, 3, 1))
+
     x = jnp.transpose(normalize_u8(imgs_u8), (0, 3, 1, 2))  # planar f32
     xp = pad_planar(x, plan, h, w)
 
@@ -67,10 +75,7 @@ def _enhance_u8_batch(
             compute_dtype=jnp.dtype(cfg.compute_dtype),
         )
 
-    if use_pallas and cfg.method == "retinex":
-        canvas = fused_retinex(xp, cfg, plan, interpret=pallas_interpret)
-        y = canvas[:, :, :h, m : m + w]
-    elif use_pallas and cfg.denoise_strength > 0.0:
+    if use_pallas and cfg.denoise_strength > 0.0:
         yp = enhance_core_padded(xp, cfg, curve_maps, do_denoise=False)
         canvas = tiled_denoise(
             yp, cfg.denoise_sigma, cfg.denoise_strength, plan,
