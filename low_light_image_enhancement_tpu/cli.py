@@ -70,7 +70,11 @@ def cmd_bench(args) -> int:
 
 
 def cmd_train(args) -> int:
-    from low_light_image_enhancement_tpu.train import TrainConfig, train_curve_cnn
+    from low_light_image_enhancement_tpu.train import (
+        TrainConfig,
+        train_curve_cnn,
+        train_fcn,
+    )
     from low_light_image_enhancement_tpu.utils.logging import JSONLLogger, get_logger
 
     tcfg = TrainConfig(
@@ -85,7 +89,8 @@ def cmd_train(args) -> int:
         if jsonl:
             jsonl.log(m)
 
-    train_curve_cnn(
+    loop = train_fcn if args.model == "fcn" else train_curve_cnn
+    loop(
         tcfg, checkpoint_dir=args.checkpoint_dir, resume=args.resume,
         log_fn=log_fn,
     )
@@ -117,7 +122,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--repeats", type=int, default=5)
     p.set_defaults(fn=cmd_bench)
 
-    p = sub.add_parser("train", help="zero-reference curve-CNN training")
+    p = sub.add_parser("train", help="curve-CNN (zero-reference) or FCN "
+                                     "(supervised) training")
+    p.add_argument("--model", choices=["curve", "fcn"], default="curve")
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--crop", type=int, default=512)
     p.add_argument("--steps", type=int, default=1000)

@@ -22,6 +22,7 @@ class PipelineConfig:
     # "retinex": classical illumination-map / reflectance path (no weights).
     # "curve":   Zero-DCE-style learned curve adjustment (needs CNN params).
     # "hybrid":  retinex illumination boost followed by learned curves.
+    # "fcn":     supervised context-aggregation FCN enhancer (paired data).
     method: str = "retinex"
 
     # --- retinex / gamma -----------------------------------------------------

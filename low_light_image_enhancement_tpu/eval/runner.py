@@ -1,11 +1,14 @@
 """LOL eval harness (BASELINE.json config 2) with device-vs-reference parity.
 
-``eval_lol`` runs the pipeline over the eval split, reports mean PSNR/SSIM of
-enhanced-vs-ground-truth, and — when ``parity=True`` — re-runs the pure-jnp
-reference path on the same inputs and reports the PSNR between the two
-outputs plus the max absolute u8 delta. The >=(infinity) parity PSNR /
-<=0.1 dB budget (BASELINE.json:5) is checked against the *difference of the
-two paths' GT-PSNRs*.
+Structure follows SURVEY.md §3.2: the dataset is decoded on host worker
+threads through a double-buffered ``PrefetchQueue`` while the device enhances
+the previous batch; PSNR/SSIM are computed per batch. A failed batch is
+retried once and then skipped with a log line (batch-level failure detection,
+SURVEY.md §5) so one bad input can't kill a long eval.
+
+``parity=True`` re-runs the pure-jnp reference path on the same inputs and
+reports the max absolute u8 delta plus the PSNR-delta against ground truth
+(the <=0.1 dB budget, BASELINE.json:5).
 """
 
 from __future__ import annotations
@@ -16,7 +19,23 @@ import numpy as np
 
 from low_light_image_enhancement_tpu.data.lol import LOLDataset
 from low_light_image_enhancement_tpu.eval.metrics import psnr_u8, ssim_u8
+from low_light_image_enhancement_tpu.io.prefetch import PrefetchQueue
 from low_light_image_enhancement_tpu.pipeline import EnhancePipeline
+from low_light_image_enhancement_tpu.utils.logging import get_logger
+
+_LOG = get_logger("llie.eval")
+
+
+def _enhance_with_retry(pipeline, lows, retries: int = 1):
+    for attempt in range(retries + 1):
+        try:
+            return pipeline.enhance_batch(lows)
+        except Exception as e:  # device/runtime error: retry, then skip
+            _LOG.warning(
+                "enhance batch failed (attempt %d/%d): %s",
+                attempt + 1, retries + 1, e,
+            )
+    return None
 
 
 def eval_lol(
@@ -24,35 +43,60 @@ def eval_lol(
     dataset: Optional[LOLDataset] = None,
     max_images: Optional[int] = None,
     parity: bool = True,
+    batch_size: int = 15,
+    prefetch_depth: int = 2,
 ) -> Dict[str, float]:
     pipeline = pipeline or EnhancePipeline()
     dataset = dataset or LOLDataset(split="eval15")
-    lows, highs = dataset.as_batch(max_images)
+    n = len(dataset) if max_images is None else min(max_images, len(dataset))
 
-    out = pipeline.enhance_batch(lows)
-    psnrs = np.asarray(psnr_u8(out, highs))
-    ssims = np.asarray(ssim_u8(out, highs))
-    report: Dict[str, float] = {
-        "n_images": float(len(lows)),
-        "synthetic_data": float(dataset.is_synthetic),
-        "psnr_mean": float(psnrs.mean()),
-        "psnr_std": float(psnrs.std()),
-        "ssim_mean": float(ssims.mean()),
-    }
+    def batches():
+        for start in range(0, n, batch_size):
+            lows, highs = [], []
+            for i in range(start, min(start + batch_size, n)):
+                lo, hi, _ = dataset[i]
+                lows.append(lo)
+                highs.append(hi)
+            yield np.stack(lows), np.stack(highs)
 
+    psnrs, ssims, ref_psnrs, parity_max = [], [], [], 0
+    skipped = 0
+    ref_pipe = None
     if parity:
         ref_pipe = EnhancePipeline(
-            pipeline.config, curve_params=pipeline.curve_params, force_jnp=True
+            pipeline.config, model_params=pipeline.model_params, force_jnp=True
         )
-        ref = ref_pipe.enhance_batch(lows)
-        ref_psnrs = np.asarray(psnr_u8(ref, highs))
-        report["ref_psnr_mean"] = float(ref_psnrs.mean())
-        report["parity_psnr_delta_db"] = float(
-            abs(psnrs.mean() - ref_psnrs.mean())
-        )
-        report["parity_max_abs_u8"] = float(
-            np.max(np.abs(out.astype(np.int32) - ref.astype(np.int32)))
-        )
+
+    for lows, highs in PrefetchQueue(batches(), depth=prefetch_depth,
+                                     device_put=False):
+        out = _enhance_with_retry(pipeline, lows)
+        if out is None:
+            skipped += len(lows)
+            continue
+        psnrs.extend(np.asarray(psnr_u8(out, highs)).tolist())
+        ssims.extend(np.asarray(ssim_u8(out, highs)).tolist())
+        if ref_pipe is not None:
+            ref = ref_pipe.enhance_batch(lows)
+            ref_psnrs.extend(np.asarray(psnr_u8(ref, highs)).tolist())
+            parity_max = max(
+                parity_max,
+                int(np.abs(out.astype(np.int32) - ref.astype(np.int32)).max()),
+            )
+
+    psnrs_a = np.asarray(psnrs)
+    report: Dict[str, float] = {
+        "n_images": float(len(psnrs)),
+        "n_skipped": float(skipped),
+        "synthetic_data": float(dataset.is_synthetic),
+        "psnr_mean": float(psnrs_a.mean()),
+        "psnr_std": float(psnrs_a.std()),
+        "ssim_mean": float(np.mean(ssims)),
+    }
+    if parity and ref_psnrs:
+        ref_mean = float(np.mean(ref_psnrs))
+        report["ref_psnr_mean"] = ref_mean
+        report["parity_psnr_delta_db"] = abs(report["psnr_mean"] - ref_mean)
+        report["parity_max_abs_u8"] = float(parity_max)
         report["parity_within_0p1db"] = float(
             report["parity_psnr_delta_db"] <= 0.1
         )

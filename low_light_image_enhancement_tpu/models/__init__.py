@@ -14,6 +14,11 @@ from low_light_image_enhancement_tpu.models.decom import (
     init_decom_net,
     apply_decom_net,
 )
+from low_light_image_enhancement_tpu.models.fcn import (
+    EnhanceFCN,
+    init_fcn,
+    apply_fcn,
+)
 
 __all__ = [
     "CurveEstimatorCNN",
@@ -22,4 +27,7 @@ __all__ = [
     "DecomNet",
     "init_decom_net",
     "apply_decom_net",
+    "EnhanceFCN",
+    "init_fcn",
+    "apply_fcn",
 ]

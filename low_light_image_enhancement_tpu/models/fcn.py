@@ -1,0 +1,97 @@
+"""Context-aggregation FCN enhancer (fast-FCN image operator family,
+PAPERS.md:8: "Fast Image Processing with Fully-Convolutional Networks").
+
+A stack of 3x3 convs with exponentially growing dilation (1,2,4,...,1) gives
+a large receptive field at constant cost — the standard architecture for
+approximating whole-image operators with a tiny FCN. Trained supervised on
+(low, high) pairs (``train.train_fcn``), it is the paired-data counterpart to
+the zero-reference curve CNN. Functional init/apply, NHWC convs on the MXU.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+Params = Dict[str, Dict[str, jnp.ndarray]]
+
+_CONV_DN = ("NHWC", "HWIO", "NHWC")
+
+
+def _conv(x, w, b, dilation: int, compute_dtype):
+    y = lax.conv_general_dilated(
+        x.astype(compute_dtype),
+        w.astype(compute_dtype),
+        window_strides=(1, 1),
+        padding="SAME",
+        rhs_dilation=(dilation, dilation),
+        dimension_numbers=_CONV_DN,
+        preferred_element_type=jnp.float32,
+    )
+    return y + b.astype(jnp.float32)
+
+
+def _dilations(depth: int) -> Tuple[int, ...]:
+    # 1, 2, 4, ... capped growth, then a closing dilation-1 layer.
+    ds = [min(2 ** i, 32) for i in range(depth - 1)]
+    return tuple(ds) + (1,)
+
+
+def init_fcn(key: jax.Array, features: int = 24, depth: int = 7) -> Params:
+    dils = _dilations(depth)
+    sizes = [(3, features)] + [(features, features)] * (depth - 1)
+    params: Params = {}
+    keys = jax.random.split(key, depth + 1)
+    for i, ((cin, cout), k) in enumerate(zip(sizes, keys[:-1]), start=1):
+        fan_in = 3 * 3 * cin
+        w = jax.random.normal(k, (3, 3, cin, cout), jnp.float32)
+        params[f"c{i}"] = {
+            "w": w * jnp.sqrt(2.0 / fan_in),
+            "b": jnp.zeros((cout,), jnp.float32),
+        }
+    wout = jax.random.normal(keys[-1], (1, 1, features, 3), jnp.float32)
+    params["out"] = {
+        "w": wout * jnp.sqrt(2.0 / features),
+        "b": jnp.zeros((3,), jnp.float32),
+    }
+    return params
+
+
+def apply_fcn(
+    params: Params,
+    x: jnp.ndarray,
+    compute_dtype: jnp.dtype = jnp.float32,
+) -> jnp.ndarray:
+    """(..., 3, H, W) in [0,1] -> enhanced (..., 3, H, W) in [0,1]."""
+    batched = x.ndim == 4
+    if not batched:
+        x = x[None]
+    depth = sum(1 for k in params if k.startswith("c"))
+    dils = _dilations(depth)
+    h = jnp.transpose(x, (0, 2, 3, 1))
+    for i, dil in enumerate(dils, start=1):
+        p = params[f"c{i}"]
+        h = jax.nn.leaky_relu(_conv(h, p["w"], p["b"], dil, compute_dtype),
+                              negative_slope=0.2)
+    out = jax.nn.sigmoid(
+        _conv(h, params["out"]["w"], params["out"]["b"], 1, compute_dtype)
+    )
+    out = jnp.transpose(out, (0, 3, 1, 2))
+    return out if batched else out[0]
+
+
+@dataclasses.dataclass(frozen=True)
+class EnhanceFCN:
+    features: int = 24
+    depth: int = 7
+    compute_dtype: jnp.dtype = jnp.float32
+
+    def init(self, key: jax.Array) -> Params:
+        return init_fcn(key, self.features, self.depth)
+
+    def apply(self, params: Params, x: jnp.ndarray) -> jnp.ndarray:
+        return apply_fcn(params, x, self.compute_dtype)

@@ -46,7 +46,7 @@ def pad_planar(x: jnp.ndarray, plan: StripePlan, h: int, w: int) -> jnp.ndarray:
 
 def _enhance_u8_batch(
     imgs_u8: jnp.ndarray,
-    curve_params: Optional[Dict[str, Any]],
+    model_params: Optional[Dict[str, Any]],
     *,
     cfg: PipelineConfig,
     plan: StripePlan,
@@ -67,25 +67,39 @@ def _enhance_u8_batch(
     x = jnp.transpose(normalize_u8(imgs_u8), (0, 3, 1, 2))  # planar f32
     xp = pad_planar(x, plan, h, w)
 
-    curve_maps = None
-    if cfg.method in ("curve", "hybrid"):
-        # Zero-DCE convention: curves are estimated from the raw input.
-        curve_maps = apply_curve_cnn(
-            curve_params, xp, n_iter=cfg.curve_iters,
-            compute_dtype=jnp.dtype(cfg.compute_dtype),
-        )
+    if cfg.method == "fcn":
+        from low_light_image_enhancement_tpu.models.fcn import apply_fcn
 
-    if use_pallas and cfg.denoise_strength > 0.0:
-        yp = enhance_core_padded(xp, cfg, curve_maps, do_denoise=False)
-        canvas = tiled_denoise(
-            yp, cfg.denoise_sigma, cfg.denoise_strength, plan,
-            interpret=pallas_interpret,
+        yp = jnp.clip(
+            apply_fcn(model_params, xp,
+                      compute_dtype=jnp.dtype(cfg.compute_dtype)),
+            0.0, 1.0,
         )
-        y = canvas[:, :, :h, m : m + w]
     else:
-        yp = enhance_core_padded(xp, cfg, curve_maps)
-        y = yp[:, :, m : m + h, m : m + w]
+        curve_maps = None
+        if cfg.method in ("curve", "hybrid"):
+            # Zero-DCE convention: curves are estimated from the raw input.
+            curve_maps = apply_curve_cnn(
+                model_params, xp, n_iter=cfg.curve_iters,
+                compute_dtype=jnp.dtype(cfg.compute_dtype),
+            )
+        yp = enhance_core_padded(xp, cfg, curve_maps, do_denoise=False)
 
+    # shared fused-denoise tail
+    if cfg.denoise_strength > 0.0:
+        if use_pallas:
+            canvas = tiled_denoise(
+                yp, cfg.denoise_sigma, cfg.denoise_strength, plan,
+                interpret=pallas_interpret,
+            )
+            y = canvas[:, :, :h, m : m + w]
+            return jnp.transpose(quantize_u8(y), (0, 2, 3, 1))
+        from low_light_image_enhancement_tpu.ops.denoise import bilateral_core
+        from low_light_image_enhancement_tpu.ops.filters import roll2d
+
+        inv2s2 = 1.0 / (2.0 * cfg.denoise_sigma * cfg.denoise_sigma)
+        yp = bilateral_core(yp, inv2s2, cfg.denoise_strength, roll2d)
+    y = jnp.clip(yp, 0.0, 1.0)[:, :, m : m + h, m : m + w]
     return jnp.transpose(quantize_u8(y), (0, 2, 3, 1))
 
 
@@ -101,19 +115,38 @@ class EnhancePipeline:
     def __init__(
         self,
         config: PipelineConfig = PipelineConfig(),
-        curve_params: Optional[Dict[str, Any]] = None,
+        model_params: Optional[Dict[str, Any]] = None,
         rng_seed: int = 0,
         force_jnp: bool = False,
         pallas_interpret: bool = False,
+        bucket: Optional[int] = None,
+        curve_params: Optional[Dict[str, Any]] = None,  # legacy alias
     ):
+        """``model_params``: weights for the learned methods — the curve CNN
+        for "curve"/"hybrid", the FCN enhancer for "fcn"; freshly initialized
+        from ``rng_seed`` when omitted.
+
+        ``bucket``: optional size granularity. When set, inputs are
+        edge-padded up to multiples of ``bucket`` before compilation and the
+        output is cropped back — so a stream of varying image sizes hits a
+        bounded number of compiled programs instead of one per exact shape
+        (SURVEY.md §7 hard part (e))."""
         self.config = config
-        if config.method in ("curve", "hybrid") and curve_params is None:
-            curve_params = init_curve_cnn(
-                jax.random.PRNGKey(rng_seed),
-                features=config.curve_features,
-                n_iter=config.curve_iters,
-            )
-        self.curve_params = curve_params
+        self.bucket = bucket
+        if model_params is None:
+            model_params = curve_params
+        if model_params is None:
+            if config.method in ("curve", "hybrid"):
+                model_params = init_curve_cnn(
+                    jax.random.PRNGKey(rng_seed),
+                    features=config.curve_features,
+                    n_iter=config.curve_iters,
+                )
+            elif config.method == "fcn":
+                from low_light_image_enhancement_tpu.models.fcn import init_fcn
+
+                model_params = init_fcn(jax.random.PRNGKey(rng_seed))
+        self.model_params = model_params
         backend = jax.default_backend()
         self._use_pallas = config.use_pallas and not force_jnp and (
             backend == "tpu" or pallas_interpret
@@ -145,10 +178,24 @@ class EnhancePipeline:
         b, h, w, c = imgs_u8.shape
         if c != 3:
             raise ValueError(f"expected RGB (B,H,W,3), got {imgs_u8.shape}")
-        return self._compiled(b, h, w)(imgs_u8, self.curve_params)
+        return self._compiled(b, h, w)(imgs_u8, self.model_params)
 
     def enhance_batch(self, imgs_u8) -> np.ndarray:
         """(B, H, W, 3) u8 -> (B, H, W, 3) u8 enhanced (host numpy)."""
+        imgs_u8 = np.asarray(imgs_u8)
+        if self.bucket:
+            g = self.bucket
+            _, h, w, _ = imgs_u8.shape
+            hb, wb = -(-h // g) * g, -(-w // g) * g
+            if (hb, wb) != (h, w):
+                padded = np.pad(
+                    imgs_u8, ((0, 0), (0, hb - h), (0, wb - w), (0, 0)),
+                    mode="edge",
+                )
+                out = np.asarray(
+                    self.enhance_batch_device(jnp.asarray(padded))
+                )
+                return out[:, :h, :w]
         return np.asarray(self.enhance_batch_device(jnp.asarray(imgs_u8)))
 
     def enhance(self, img_u8) -> np.ndarray:
@@ -159,6 +206,31 @@ class EnhancePipeline:
         return self.enhance_batch(img_u8[None])[0]
 
     __call__ = enhance
+
+    def enhance_stream(self, frames, depth: int = 2):
+        """Streaming enhancement (BASELINE.json config 4): iterate u8 HWC
+        frames (or (B,H,W,3) batches); host-side staging and the host->HBM
+        copy run double-buffered ahead of device compute via PrefetchQueue.
+        Yields enhanced frames/batches as numpy, in order."""
+        from low_light_image_enhancement_tpu.io.prefetch import PrefetchQueue
+
+        pending = []
+        with PrefetchQueue(frames, depth=depth, transform=np.asarray,
+                           device_put=False) as q:
+            for frame in q:
+                single = frame.ndim == 3
+                batch = frame[None] if single else frame
+                out = self.enhance_batch_device(jnp.asarray(batch))
+                pending.append((out, single))
+                # keep one batch in flight: overlap device compute with the
+                # host fetch of the previous result
+                if len(pending) > 1:
+                    done, was_single = pending.pop(0)
+                    res = np.asarray(done)
+                    yield res[0] if was_single else res
+        for done, was_single in pending:
+            res = np.asarray(done)
+            yield res[0] if was_single else res
 
     def enhance_file(self, in_path: str, out_path: str) -> None:
         from low_light_image_enhancement_tpu.io.codec import (

@@ -248,3 +248,130 @@ def train_curve_cnn(
             )
         ckpt.wait()
     return params, history
+
+
+# ----------------------------------------------------- supervised (FCN) --- #
+
+def paired_loss(
+    params, low: jnp.ndarray, high: jnp.ndarray, tcfg: "TrainConfig",
+    w_ssim: float = 0.5,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """L1 + (1 - SSIM) supervised loss for the FCN enhancer on (low, high)
+    pairs — the paired-data counterpart of the zero-reference losses."""
+    from low_light_image_enhancement_tpu.eval.metrics import ssim
+    from low_light_image_enhancement_tpu.models.fcn import apply_fcn
+
+    y = apply_fcn(params, low, compute_dtype=jnp.dtype(tcfg.compute_dtype))
+    l1 = jnp.mean(jnp.abs(y - high))
+    s = jnp.mean(ssim(y, high))
+    total = l1 + w_ssim * (1.0 - s)
+    return total, {"loss": total, "l1": l1, "ssim": s}
+
+
+def make_supervised_train_step(
+    tcfg: "TrainConfig", mesh: Optional[Mesh] = None
+) -> Callable:
+    """jitted ``step(params, opt_state, low, high)`` for the FCN model; same
+    sharding scheme as the zero-reference step."""
+    optimizer = make_optimizer(tcfg)
+
+    def step(params, opt_state, low, high):
+        (_, metrics), grads = jax.value_and_grad(paired_loss, has_aux=True)(
+            params, low, high, tcfg
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, metrics
+
+    if mesh is None:
+        return jax.jit(step)
+    batch_sharding = NamedSharding(mesh, P(("data", "spatial")))
+    replicated = NamedSharding(mesh, P())
+    return jax.jit(
+        step,
+        in_shardings=(replicated, replicated, batch_sharding, batch_sharding),
+        out_shardings=(replicated, replicated, replicated),
+    )
+
+
+def train_fcn(
+    tcfg: TrainConfig = TrainConfig(features=24, batch_size=16, crop=256),
+    data_iter=None,
+    mesh: Optional[Mesh] = None,
+    checkpoint_dir: Optional[str] = None,
+    resume: bool = False,
+    log_fn: Optional[Callable[[Dict[str, float]], None]] = None,
+    seed: int = 0,
+):
+    """Supervised training loop for the FCN enhancer. ``data_iter`` yields
+    (low, high) planar f32 batch pairs; defaults to synthetic LOL-like pairs.
+    Returns (params, metrics_history)."""
+    from low_light_image_enhancement_tpu.data.synth import synth_batch
+    from low_light_image_enhancement_tpu.models.fcn import init_fcn
+
+    import numpy as np  # noqa: F401  (kept local like the zero-ref loop)
+
+    params = init_fcn(jax.random.PRNGKey(seed), features=tcfg.features)
+    opt_state = make_optimizer(tcfg).init(params)
+    start_step = 0
+    ckpt = None
+    if checkpoint_dir is not None:
+        from low_light_image_enhancement_tpu.utils.checkpoint import (
+            CheckpointManager,
+        )
+
+        ckpt = CheckpointManager(checkpoint_dir)
+        if resume:
+            restored = ckpt.restore_latest(
+                {"params": params, "opt_state": opt_state, "step": 0}
+            )
+            if restored is not None:
+                params = restored["params"]
+                opt_state = restored["opt_state"]
+                start_step = int(restored["step"])
+
+    if data_iter is None:
+        def _synth_pairs():
+            i = 0
+            while True:
+                lows, highs = synth_batch(
+                    tcfg.batch_size, tcfg.crop, tcfg.crop, seed=seed, start=i
+                )
+                i += tcfg.batch_size
+                to_planar = lambda a: jnp.transpose(
+                    jnp.asarray(a, jnp.float32) / 255.0, (0, 3, 1, 2)
+                )
+                yield to_planar(lows), to_planar(highs)
+        data_iter = _synth_pairs()
+
+    step_fn = make_supervised_train_step(tcfg, mesh)
+    history = []
+    t0 = time.time()
+    for step_idx in range(start_step, tcfg.steps):
+        low, high = next(data_iter)
+        params, opt_state, metrics = step_fn(params, opt_state, low, high)
+        if (step_idx + 1) % tcfg.log_every == 0 or step_idx == start_step:
+            m = {k: float(v) for k, v in metrics.items()}
+            m["step"] = step_idx
+            m["imgs_per_sec"] = (
+                tcfg.batch_size * (step_idx + 1 - start_step)
+                / max(time.time() - t0, 1e-9)
+            )
+            history.append(m)
+            if log_fn is not None:
+                log_fn(m)
+        if ckpt is not None and (step_idx + 1) % tcfg.checkpoint_every == 0:
+            ckpt.save(
+                {"params": params, "opt_state": opt_state,
+                 "step": step_idx + 1},
+                step=step_idx + 1,
+            )
+    if ckpt is not None:
+        if tcfg.steps > start_step and ckpt.latest_step() != tcfg.steps:
+            ckpt.save(
+                {"params": params, "opt_state": opt_state,
+                 "step": tcfg.steps},
+                step=tcfg.steps,
+            )
+        ckpt.wait()
+    return params, history

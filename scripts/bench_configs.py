@@ -1,0 +1,223 @@
+#!/usr/bin/env python
+"""Per-config benchmarks for the five BASELINE.json workloads (lines 6-12).
+
+Prints one JSON line per config (JSONL on stdout). Each config degrades
+gracefully to whatever hardware is present (the v5e-8 config runs on as many
+devices as exist and records the count).
+
+Usage: python scripts/bench_configs.py [--configs 1 2 3 4 5] [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _sync(x):
+    _ = np.asarray(jax.tree_util.tree_leaves(x)[0]).ravel()[0]
+
+
+def _chain_rate(step_fn, x0, batch, n_short=3, n_long=12, repeats=3):
+    def chain(n):
+        t0 = time.perf_counter()
+        x = x0
+        for _ in range(n):
+            x = step_fn(x)
+        _sync(x)
+        return time.perf_counter() - t0
+
+    rates = []
+    for _ in range(repeats):
+        t_s, t_l = chain(n_short), chain(n_long)
+        if t_l > t_s:  # marginal rate (cancels fixed dispatch latency)
+            rates.append(batch * (n_long - n_short) / (t_l - t_s))
+        else:  # timing noise swamped the margin; fall back to the mean rate
+            rates.append(batch * n_long / t_l)
+    return float(np.median(rates))
+
+
+def config1_single_cpu(quick: bool) -> dict:
+    """Single LOL 600x400 image: Retinex + gamma on CPU JAX, parity vs the
+    reference (pure-jnp) path. BASELINE.json:7."""
+    from low_light_image_enhancement_tpu.config import PRESETS
+    from low_light_image_enhancement_tpu.data.synth import synth_pair
+    from low_light_image_enhancement_tpu.pipeline import EnhancePipeline
+
+    low, _ = synth_pair(0, 400, 600)
+    pipe = EnhancePipeline(PRESETS["config1_single_cpu"], force_jnp=True)
+    out1 = pipe.enhance(low)  # compile
+    t0 = time.perf_counter()
+    n = 3 if quick else 10
+    for _ in range(n):
+        out1 = pipe.enhance(low)
+    dt = (time.perf_counter() - t0) / n
+    # parity: this IS the reference path; re-run through the default pipeline
+    ref = EnhancePipeline(PRESETS["config1_single_cpu"]).enhance(low)
+    return {
+        "config": 1,
+        "sec_per_image": round(dt, 4),
+        "parity_max_abs_u8": int(
+            np.abs(out1.astype(int) - ref.astype(int)).max()
+        ),
+    }
+
+
+def config2_lol_eval(quick: bool) -> dict:
+    """LOL eval-15 batched inference with fused decode->enhance->encode on
+    one core. BASELINE.json:8."""
+    import io as _io
+
+    from low_light_image_enhancement_tpu.data.lol import LOLDataset
+    from low_light_image_enhancement_tpu.io.codec import decode_image, encode_image
+    from low_light_image_enhancement_tpu.pipeline import EnhancePipeline
+
+    ds = LOLDataset(split="eval15")
+    lows, _ = ds.as_batch(4 if quick else 15)
+    blobs = [encode_image(im, format="PNG") for im in lows]
+    pipe = EnhancePipeline()
+    pipe.enhance_batch(lows[:1])  # compile
+
+    t0 = time.perf_counter()
+    decoded = np.stack([decode_image(b) for b in blobs])
+    out = pipe.enhance_batch(decoded)
+    encoded = [encode_image(im, format="PNG") for im in out]
+    dt = time.perf_counter() - t0
+    return {
+        "config": 2,
+        "n_images": len(blobs),
+        "images_per_sec_e2e": round(len(blobs) / dt, 2),
+        "bytes_out": sum(len(b) for b in encoded),
+    }
+
+
+def config3_curve_cnn(quick: bool) -> dict:
+    """Zero-DCE-style curve CNN at 512x512 batch-64 on one chip: training
+    step rate and inference rate. BASELINE.json:9."""
+    from low_light_image_enhancement_tpu.train import (
+        TrainConfig,
+        init_train_state,
+        make_train_step,
+    )
+
+    bs = 8 if quick else 64
+    crop = 128 if quick else 512
+    tcfg = TrainConfig(batch_size=bs, crop=crop)
+    params, opt_state = init_train_state(tcfg)
+    step = make_train_step(tcfg)
+    batch = jnp.asarray(
+        np.random.default_rng(0).random((bs, 3, crop, crop), np.float32)
+    )
+
+    params, opt_state, m = step(params, opt_state, batch)  # compile
+    _sync(m["loss"])
+    n = 3 if quick else 10
+    t0 = time.perf_counter()
+    for _ in range(n):
+        params, opt_state, m = step(params, opt_state, batch)
+    _sync(m["loss"])
+    dt = (time.perf_counter() - t0) / n
+    return {
+        "config": 3,
+        "batch": bs,
+        "crop": crop,
+        "train_steps_per_sec": round(1.0 / dt, 3),
+        "train_images_per_sec": round(bs / dt, 1),
+        "loss": round(float(m["loss"]), 4),
+    }
+
+
+def config4_1080p_stream(quick: bool) -> dict:
+    """1080p video-frame streaming enhancement with double-buffered
+    host->HBM prefetch. BASELINE.json:10."""
+    from low_light_image_enhancement_tpu.io.prefetch import PrefetchQueue
+    from low_light_image_enhancement_tpu.pipeline import EnhancePipeline
+
+    h, w, n_frames = 1080, 1920, (8 if quick else 32)
+    rng = np.random.default_rng(0)
+    frame = (rng.random((h, w, 3)) * 60).astype(np.uint8)  # dark 1080p
+    pipe = EnhancePipeline()
+    _sync(pipe.enhance_batch_device(jnp.asarray(frame[None])))  # compile
+
+    def frames():
+        for i in range(n_frames):
+            # host-side work per frame (copy stands in for decode)
+            yield np.ascontiguousarray(frame)[None]
+
+    t0 = time.perf_counter()
+    out = None
+    for batch in PrefetchQueue(frames(), depth=2):
+        out = pipe.enhance_batch_device(batch)
+    _sync(out)
+    dt = time.perf_counter() - t0
+    return {
+        "config": 4,
+        "frames": n_frames,
+        "fps_1080p": round(n_frames / dt, 2),
+    }
+
+
+def config5_4k_sharded(quick: bool) -> dict:
+    """4K pipeline sharded spatially with per-shard denoise over however
+    many devices exist. BASELINE.json:11."""
+    from low_light_image_enhancement_tpu.config import PipelineConfig
+    from low_light_image_enhancement_tpu.parallel import (
+        enhance_spatial_sharded,
+        make_mesh,
+    )
+
+    n_dev = len(jax.devices())
+    mesh = make_mesh(n_data=1, n_spatial=n_dev)
+    cfg = PipelineConfig()
+    h, w = (1080, 1920) if quick else (2160, 3840)
+    x = jnp.asarray(
+        np.random.default_rng(0).random((1, 3, h, w), np.float32) * 0.3
+    )
+    use_pallas = jax.default_backend() == "tpu"
+    fn = jax.jit(
+        lambda v: enhance_spatial_sharded(v, cfg, mesh, use_pallas=use_pallas)
+    )
+    _sync(fn(x))  # compile
+    rate = _chain_rate(lambda v: fn(v), x, 1, n_short=2, n_long=6)
+    return {
+        "config": 5,
+        "n_devices": n_dev,
+        "resolution": f"{h}x{w}",
+        "frames_per_sec_4k": round(rate, 2),
+    }
+
+
+CONFIGS = {
+    1: config1_single_cpu,
+    2: config2_lol_eval,
+    3: config3_curve_cnn,
+    4: config4_1080p_stream,
+    5: config5_4k_sharded,
+}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", type=int, nargs="*", default=[1, 2, 3, 4, 5])
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+    for c in args.configs:
+        try:
+            res = CONFIGS[c](args.quick)
+        except Exception as e:  # keep the suite going; record the failure
+            res = {"config": c, "error": f"{type(e).__name__}: {e}"}
+        res["backend"] = jax.default_backend()
+        print(json.dumps(res), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,67 @@
+"""Two-process jax.distributed coverage (SURVEY.md §4): spawn 2 local CPU
+processes, build a global mesh, run one sharded zero-reference train step —
+both processes must agree on the loss (gradients all-reduced over the
+process boundary via Gloo/DCN path)."""
+
+import os
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+_WORKER = textwrap.dedent(
+    """
+    import sys
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    pid = int(sys.argv[1])
+    from low_light_image_enhancement_tpu.parallel.distributed import (
+        initialize_distributed, global_batch_from_local)
+    initialize_distributed("localhost:12357", num_processes=2, process_id=pid)
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, PartitionSpec as P
+    from low_light_image_enhancement_tpu.train import (
+        TrainConfig, init_train_state, make_train_step)
+    from low_light_image_enhancement_tpu.parallel import make_mesh
+
+    assert jax.device_count() == 2, jax.devices()
+    mesh = make_mesh(n_data=2, n_spatial=1)
+    tcfg = TrainConfig(features=8, n_iter=2, batch_size=2, crop=16, steps=1)
+    params, opt_state = init_train_state(tcfg, seed=0)
+    step = make_train_step(tcfg, mesh)
+    # each process contributes its local half of the global batch
+    local = np.random.default_rng(pid).random((1, 3, 16, 16), np.float32)
+    batch = global_batch_from_local(mesh, local, P(("data", "spatial")))
+    params, opt_state, metrics = step(params, opt_state, batch)
+    print(f"RESULT {pid} {float(metrics['loss']):.6f}", flush=True)
+    """
+)
+
+
+def test_two_process_sharded_train_step(tmp_path):
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER)
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""  # keep the axon TPU plugin out
+    env.pop("JAX_PLATFORMS", None)
+    env["PYTHONPATH"] = os.getcwd() + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=150)[0] for p in procs]
+    losses = {}
+    for out, p in zip(outs, procs):
+        assert p.returncode == 0, out[-2000:]
+        for line in out.splitlines():
+            if line.startswith("RESULT"):
+                _, pid, loss = line.split()
+                losses[pid] = float(loss)
+    assert set(losses) == {"0", "1"}, outs
+    assert abs(losses["0"] - losses["1"]) < 1e-6
