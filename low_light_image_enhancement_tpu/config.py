@@ -38,6 +38,10 @@ class PipelineConfig:
     # --- curve CNN -----------------------------------------------------------
     curve_iters: int = 8         # LE-curve iterations (Zero-DCE uses 8)
     curve_features: int = 32     # conv width of the curve estimator
+    curve_downsample: int = 1    # estimate curves at 1/N resolution and
+                                 # bilinearly upsample the maps (curves are
+                                 # spatially smooth by construction — the TV
+                                 # loss — so N=4 loses almost nothing)
 
     # --- execution -----------------------------------------------------------
     use_pallas: bool = True      # fuse the per-pixel graph into a Pallas kernel

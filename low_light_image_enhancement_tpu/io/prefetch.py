@@ -36,39 +36,77 @@ class PrefetchQueue:
         device: Optional[jax.Device] = None,
         transform: Optional[Callable[[Any], Any]] = None,
         device_put: bool = True,
+        workers: int = 1,
     ):
+        """``workers > 1`` runs ``transform`` (typically JPEG decode, which
+        releases the GIL in PIL/libjpeg-turbo) on a thread pool while a
+        single coordinator preserves ordering and issues the host->device
+        copies — the host-decode scaling needed to keep a >1000 img/s device
+        fed (SURVEY.md §7 hard part (d))."""
         if depth < 1:
             raise ValueError("depth must be >= 1")
+        if workers < 1:
+            raise ValueError("workers must be >= 1")
         self._source = iter(source)
         self._device = device
         self._transform = transform
         self._device_put = device_put
+        self._workers = workers
         self._q: "queue.Queue[Any]" = queue.Queue(maxsize=depth)
         self._err: Optional[BaseException] = None
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
+    def _stage(self, item: Any) -> Any:
+        if self._device_put:
+            item = jax.device_put(item, self._device)
+            # Force the async host->device copy to be enqueued now.
+            jax.tree_util.tree_map(
+                lambda x: getattr(x, "copy_to_host_async", lambda: None),
+                item,
+            )
+        return item
+
+    def _put(self, item: Any) -> bool:
+        while not self._stop.is_set():
+            try:
+                self._q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def _worker(self) -> None:
         try:
-            for item in self._source:
-                if self._stop.is_set():
-                    return
-                if self._transform is not None:
-                    item = self._transform(item)
-                if self._device_put:
-                    item = jax.device_put(item, self._device)
-                    # Force the async host->device copy to be enqueued now.
-                    jax.tree_util.tree_map(
-                        lambda x: getattr(x, "copy_to_host_async", lambda: None),
-                        item,
-                    )
-                while not self._stop.is_set():
-                    try:
-                        self._q.put(item, timeout=0.1)
-                        break
-                    except queue.Full:
-                        continue
+            if self._workers == 1 or self._transform is None:
+                for item in self._source:
+                    if self._stop.is_set():
+                        return
+                    if self._transform is not None:
+                        item = self._transform(item)
+                    if not self._put(self._stage(item)):
+                        return
+            else:
+                import collections
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(self._workers) as pool:
+                    pending: "collections.deque" = collections.deque()
+                    exhausted = False
+                    while not self._stop.is_set():
+                        while not exhausted and len(pending) < 2 * self._workers:
+                            try:
+                                raw = next(self._source)
+                            except StopIteration:
+                                exhausted = True
+                                break
+                            pending.append(pool.submit(self._transform, raw))
+                        if not pending:
+                            break
+                        item = pending.popleft().result()
+                        if not self._put(self._stage(item)):
+                            return
         except BaseException as e:  # propagate to the consumer
             self._err = e
         finally:

@@ -27,8 +27,21 @@ def halo_pad_local(
     edge-replication of the shard's own boundary row.
     """
     n = lax.axis_size(axis_name)
-    idx = lax.axis_index(axis_name)
 
+    # Global boundaries: replicate our own edge row, matching jnp.pad('edge').
+    first_row = lax.slice_in_dim(x_local, 0, 1, axis=-2)
+    last_row = lax.slice_in_dim(x_local, x_local.shape[-2] - 1,
+                                x_local.shape[-2], axis=-2)
+    reps = [1] * x_local.ndim
+    reps[-2] = margin
+
+    if n == 1:  # single shard: no neighbors, no collectives — pure replicate
+        return jnp.concatenate(
+            [jnp.tile(first_row, reps), x_local, jnp.tile(last_row, reps)],
+            axis=-2,
+        )
+
+    idx = lax.axis_index(axis_name)
     bottom_rows = lax.slice_in_dim(x_local, x_local.shape[-2] - margin,
                                    x_local.shape[-2], axis=-2)
     top_rows = lax.slice_in_dim(x_local, 0, margin, axis=-2)
@@ -42,12 +55,6 @@ def halo_pad_local(
         top_rows, axis_name, [((i + 1) % n, i) for i in range(n)]
     )
 
-    # Global boundaries: replicate our own edge row, matching jnp.pad('edge').
-    first_row = lax.slice_in_dim(x_local, 0, 1, axis=-2)
-    last_row = lax.slice_in_dim(x_local, x_local.shape[-2] - 1,
-                                x_local.shape[-2], axis=-2)
-    reps = [1] * x_local.ndim
-    reps[-2] = margin
     top = jnp.where(idx == 0, jnp.tile(first_row, reps), from_prev)
     bottom = jnp.where(idx == n - 1, jnp.tile(last_row, reps), from_next)
 

@@ -111,6 +111,9 @@ def enhance_spatial_sharded(
         mesh=mesh,
         in_specs=P("data", None, "spatial", None),
         out_specs=P("data", None, "spatial", None),
+        # pallas_call's out_shape carries no varying-mesh-axes annotation;
+        # skip the vma check (the specs above fully describe the layout).
+        check_vma=False,
     )
     out_core = sharded(xc)
     return out_core[..., :h, m : m + w]

@@ -79,10 +79,27 @@ def _enhance_u8_batch(
         curve_maps = None
         if cfg.method in ("curve", "hybrid"):
             # Zero-DCE convention: curves are estimated from the raw input.
+            # With curve_downsample > 1 the CNN runs at reduced resolution
+            # and the (smooth) curve maps are bilinearly upsampled — a
+            # near-lossless ~N^2 FLOP cut on the conv stack.
+            ds = cfg.curve_downsample
+            cnn_in = xp
+            if ds > 1:
+                b_, c_, hp_, wp_ = xp.shape
+                cnn_in = jax.image.resize(
+                    xp, (b_, c_, hp_ // ds, wp_ // ds), method="bilinear"
+                )
             curve_maps = apply_curve_cnn(
-                model_params, xp, n_iter=cfg.curve_iters,
+                model_params, cnn_in, n_iter=cfg.curve_iters,
                 compute_dtype=jnp.dtype(cfg.compute_dtype),
             )
+            if ds > 1:
+                b_, c_, hp_, wp_ = xp.shape
+                curve_maps = jax.image.resize(
+                    curve_maps,
+                    (b_, cfg.curve_iters, 3, hp_, wp_),
+                    method="bilinear",
+                )
         yp = enhance_core_padded(xp, cfg, curve_maps, do_denoise=False)
 
     # shared fused-denoise tail

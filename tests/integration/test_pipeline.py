@@ -68,6 +68,22 @@ def test_curve_method_runs_and_is_bounded():
     assert out.shape == low.shape and out.dtype == np.uint8
 
 
+def test_curve_downsample_close_to_full_res():
+    """Curve maps are smooth (TV-regularized), so estimating them at 1/4
+    resolution must stay close to full-res output."""
+    low, _ = synth_pair(4, 64, 96)
+    full = EnhancePipeline(
+        PipelineConfig(method="curve", curve_iters=4, curve_features=8)
+    ).enhance(low)
+    fast = EnhancePipeline(
+        PipelineConfig(method="curve", curve_iters=4, curve_features=8,
+                       curve_downsample=4)
+    ).enhance(low)
+    assert fast.shape == full.shape
+    mad = np.abs(fast.astype(np.int32) - full.astype(np.int32)).mean()
+    assert mad < 8.0, mad  # untrained net; trained maps are far smoother
+
+
 def test_hybrid_method_runs():
     cfg = PipelineConfig(method="hybrid", curve_iters=2, curve_features=8)
     pipe = EnhancePipeline(cfg)
