@@ -1,0 +1,60 @@
+"""Flat .npz parameter serialization for shipping small pretrained weights
+inside the repo (orbax handles training checkpoints; npz is the portable
+distribution format — no directory trees, loads anywhere)."""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Dict, Optional, Union
+
+import numpy as np
+
+_SEP = "::"
+
+# Repo-shipped default weights, keyed by pipeline method.
+_WEIGHTS_DIR = Path(__file__).resolve().parent.parent / "weights"
+PRETRAINED = {
+    "curve": _WEIGHTS_DIR / "curve_cnn.npz",
+    # hybrid curves are trained on retinex-boosted inputs (the image they
+    # adjust), not raw lows — separate weights
+    "hybrid": _WEIGHTS_DIR / "curve_hybrid.npz",
+    "fcn": _WEIGHTS_DIR / "fcn.npz",
+}
+
+
+def save_params(params: Dict[str, Any], path: Union[str, Path]) -> None:
+    """Nested dict-of-dicts of arrays -> flat npz."""
+    flat = {}
+
+    def walk(prefix, node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(f"{prefix}{_SEP}{k}" if prefix else k, v)
+        else:
+            flat[prefix] = np.asarray(node)
+
+    walk("", params)
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    np.savez(path, **flat)
+
+
+def load_params(path: Union[str, Path]) -> Dict[str, Any]:
+    """Flat npz -> nested dict-of-dicts of numpy arrays."""
+    out: Dict[str, Any] = {}
+    with np.load(path) as data:
+        for key in data.files:
+            node = out
+            parts = key.split(_SEP)
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = data[key]
+    return out
+
+
+def load_pretrained(method: str) -> Optional[Dict[str, Any]]:
+    """Load the repo-shipped weights for a pipeline method, or None."""
+    path = PRETRAINED.get(method)
+    if path is not None and path.exists():
+        return load_params(path)
+    return None

@@ -31,6 +31,17 @@ from low_light_image_enhancement_tpu.ops.retinex import (
 from low_light_image_enhancement_tpu.ops.gamma import gamma_correct
 from low_light_image_enhancement_tpu.ops.denoise import bilateral_denoise
 from low_light_image_enhancement_tpu.ops.curves import apply_curves
+from low_light_image_enhancement_tpu.ops.isp import (
+    demosaic_bilinear_rggb,
+    white_balance,
+    gray_world_gains,
+    color_correction,
+    raw_to_srgb,
+)
+from low_light_image_enhancement_tpu.ops.fourier import (
+    fourier_amplitude_boost,
+    amplitude_phase_swap,
+)
 
 __all__ = [
     "normalize_u8",
@@ -50,4 +61,11 @@ __all__ = [
     "gamma_correct",
     "bilateral_denoise",
     "apply_curves",
+    "demosaic_bilinear_rggb",
+    "white_balance",
+    "gray_world_gains",
+    "color_correction",
+    "raw_to_srgb",
+    "fourier_amplitude_boost",
+    "amplitude_phase_swap",
 ]

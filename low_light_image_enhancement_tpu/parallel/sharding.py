@@ -73,15 +73,19 @@ def enhance_spatial_sharded(
     """Spatially-sharded retinex enhance (config 5: per-shard denoise).
 
     Args:
-      x: (B, 3, H, W) f32 planar batch in [0, 1] (host or device).
+      x: (B, 3, H, W) planar batch — float32 in [0, 1], or uint8 (the fast
+        path: halos exchange u8 rows over ICI at 1/4 the bytes and each
+        shard runs the fused u8 kernel; requires ``use_pallas=True``).
       mesh: mesh with a "spatial" axis; rows shard across it, batch across
         "data". Output is bit-identical to the single-device padded-canvas
         path (halo exchange reproduces the same neighbor/edge rows).
 
-    Returns (B, 3, H, W) f32 enhanced.
+    Returns (B, 3, H, W) enhanced, same dtype as the input.
     """
     if cfg.method != "retinex":
         raise NotImplementedError("sharded path supports method='retinex'")
+    if x.dtype == jnp.uint8 and not use_pallas:
+        raise ValueError("uint8 sharded path requires use_pallas=True")
     n_sp = mesh.shape["spatial"]
     b, c, h, w = x.shape
     m = MARGIN

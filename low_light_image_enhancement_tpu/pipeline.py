@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from low_light_image_enhancement_tpu.config import PipelineConfig
-from low_light_image_enhancement_tpu.core import MARGIN, enhance_core_padded
+from low_light_image_enhancement_tpu.core import MARGIN, illumination_boost
 from low_light_image_enhancement_tpu.kernels.fused_enhance import fused_retinex
 from low_light_image_enhancement_tpu.kernels.striping import (
     StripePlan,
@@ -27,6 +27,7 @@ from low_light_image_enhancement_tpu.models.curve_cnn import (
     apply_curve_cnn,
     init_curve_cnn,
 )
+from low_light_image_enhancement_tpu.ops.curves import apply_curves
 from low_light_image_enhancement_tpu.ops.colorspace import (
     normalize_u8,
     quantize_u8,
@@ -76,31 +77,34 @@ def _enhance_u8_batch(
             0.0, 1.0,
         )
     else:
-        curve_maps = None
+        yp = xp
+        if cfg.method in ("retinex", "hybrid"):
+            yp = illumination_boost(yp, cfg)
         if cfg.method in ("curve", "hybrid"):
-            # Zero-DCE convention: curves are estimated from the raw input.
-            # With curve_downsample > 1 the CNN runs at reduced resolution
-            # and the (smooth) curve maps are bilinearly upsampled — a
+            # Zero-DCE convention: curves are estimated from the image they
+            # adjust (the raw input for "curve", the boosted image for
+            # "hybrid"). With curve_downsample > 1 the CNN runs at reduced
+            # resolution and the (smooth) maps are bilinearly upsampled — a
             # near-lossless ~N^2 FLOP cut on the conv stack.
             ds = cfg.curve_downsample
-            cnn_in = xp
+            cnn_in = yp
             if ds > 1:
-                b_, c_, hp_, wp_ = xp.shape
+                b_, c_, hp_, wp_ = yp.shape
                 cnn_in = jax.image.resize(
-                    xp, (b_, c_, hp_ // ds, wp_ // ds), method="bilinear"
+                    yp, (b_, c_, hp_ // ds, wp_ // ds), method="bilinear"
                 )
             curve_maps = apply_curve_cnn(
                 model_params, cnn_in, n_iter=cfg.curve_iters,
                 compute_dtype=jnp.dtype(cfg.compute_dtype),
             )
             if ds > 1:
-                b_, c_, hp_, wp_ = xp.shape
+                b_, c_, hp_, wp_ = yp.shape
                 curve_maps = jax.image.resize(
                     curve_maps,
                     (b_, cfg.curve_iters, 3, hp_, wp_),
                     method="bilinear",
                 )
-        yp = enhance_core_padded(xp, cfg, curve_maps, do_denoise=False)
+            yp = jnp.clip(apply_curves(yp, curve_maps), 0.0, 1.0)
 
     # shared fused-denoise tail
     if cfg.denoise_strength > 0.0:
@@ -153,16 +157,7 @@ class EnhancePipeline:
         if model_params is None:
             model_params = curve_params
         if model_params is None:
-            if config.method in ("curve", "hybrid"):
-                model_params = init_curve_cnn(
-                    jax.random.PRNGKey(rng_seed),
-                    features=config.curve_features,
-                    n_iter=config.curve_iters,
-                )
-            elif config.method == "fcn":
-                from low_light_image_enhancement_tpu.models.fcn import init_fcn
-
-                model_params = init_fcn(jax.random.PRNGKey(rng_seed))
+            model_params = self._default_params(config, rng_seed)
         self.model_params = model_params
         backend = jax.default_backend()
         self._use_pallas = config.use_pallas and not force_jnp and (
@@ -172,6 +167,36 @@ class EnhancePipeline:
         self._cache: Dict[Tuple[int, int, int], Any] = {}
 
     # ------------------------------------------------------------------ #
+
+    @staticmethod
+    def _default_params(config: PipelineConfig, rng_seed: int):
+        """Repo-shipped pretrained weights when present and shape-compatible
+        with the config; fresh random init otherwise."""
+        from low_light_image_enhancement_tpu.models.weights import (
+            load_pretrained,
+        )
+
+        if config.method in ("curve", "hybrid"):
+            pre = load_pretrained(config.method)
+            if (
+                pre is not None
+                and pre["c1"]["w"].shape[-1] == config.curve_features
+                and pre["c7"]["w"].shape[-1] == 3 * config.curve_iters
+            ):
+                return pre
+            return init_curve_cnn(
+                jax.random.PRNGKey(rng_seed),
+                features=config.curve_features,
+                n_iter=config.curve_iters,
+            )
+        if config.method == "fcn":
+            from low_light_image_enhancement_tpu.models.fcn import init_fcn
+
+            pre = load_pretrained("fcn")
+            if pre is not None:
+                return pre
+            return init_fcn(jax.random.PRNGKey(rng_seed))
+        return None
 
     def _compiled(self, b: int, h: int, w: int):
         key = (b, h, w)

@@ -179,10 +179,12 @@ def config5_4k_sharded(quick: bool) -> dict:
     mesh = make_mesh(n_data=1, n_spatial=n_dev)
     cfg = PipelineConfig()
     h, w = (1080, 1920) if quick else (2160, 3840)
-    x = jnp.asarray(
-        np.random.default_rng(0).random((1, 3, h, w), np.float32) * 0.3
-    )
     use_pallas = jax.default_backend() == "tpu"
+    rng = np.random.default_rng(0)
+    if use_pallas:  # u8 end-to-end: u8 halos + per-shard fused kernel
+        x = jnp.asarray((rng.random((1, 3, h, w)) * 76).astype(np.uint8))
+    else:
+        x = jnp.asarray(rng.random((1, 3, h, w), np.float32) * 0.3)
     fn = jax.jit(
         lambda v: enhance_spatial_sharded(v, cfg, mesh, use_pallas=use_pallas)
     )
@@ -192,6 +194,7 @@ def config5_4k_sharded(quick: bool) -> dict:
         "config": 5,
         "n_devices": n_dev,
         "resolution": f"{h}x{w}",
+        "dtype": str(x.dtype),
         "frames_per_sec_4k": round(rate, 2),
     }
 

@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Train the shipped pretrained weights on device-generated synthetic data.
+
+Produces ``low_light_image_enhancement_tpu/weights/{curve_cnn,fcn}.npz``,
+which ``EnhancePipeline`` picks up automatically for the learned methods.
+Data batches are generated ON the accelerator (``data.synth_device``), so
+the loop is host-transfer-free.
+
+Usage: python scripts/train_weights.py [--steps 1500] [--models curve fcn]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+
+WEIGHTS_DIR = (
+    Path(__file__).resolve().parent.parent
+    / "low_light_image_enhancement_tpu" / "weights"
+)
+
+
+def train_curve(steps: int, batch: int, crop: int,
+                hybrid: bool = False) -> dict:
+    """Zero-reference curve training. ``hybrid=True`` trains on
+    retinex-boosted inputs (matching the hybrid pipeline, where curves
+    adjust the boosted image) and writes curve_hybrid.npz."""
+    import jax as _jax
+
+    from low_light_image_enhancement_tpu.config import PipelineConfig
+    from low_light_image_enhancement_tpu.core import illumination_boost
+    from low_light_image_enhancement_tpu.data.synth_device import synth_batch_iter
+    from low_light_image_enhancement_tpu.models.weights import save_params
+    from low_light_image_enhancement_tpu.train import (
+        TrainConfig,
+        init_train_state,
+        make_train_step,
+    )
+
+    tcfg = TrainConfig(batch_size=batch, crop=crop, steps=steps)
+    params, opt_state = init_train_state(tcfg, seed=0)
+    step = make_train_step(tcfg)
+    data = synth_batch_iter(batch, crop, crop, seed=0)
+    boost = _jax.jit(lambda v: illumination_boost(v, PipelineConfig()))
+    name = "hybrid" if hybrid else "curve"
+    t0 = time.time()
+    first = last = None
+    for i in range(steps):
+        low, _ = next(data)
+        if hybrid:
+            low = boost(low)
+        params, opt_state, m = step(params, opt_state, low)
+        if i == 0:
+            first = float(m["loss"])
+        if (i + 1) % 200 == 0 or i == steps - 1:
+            last = float(m["loss"])
+            print(f"{name} step {i+1}/{steps} loss {last:.4f} "
+                  f"({batch*(i+1)/(time.time()-t0):.0f} img/s)", flush=True)
+    out = "curve_hybrid.npz" if hybrid else "curve_cnn.npz"
+    save_params(params, WEIGHTS_DIR / out)
+    return {"model": name, "first_loss": first, "final_loss": last}
+
+
+def train_fcn_weights(steps: int, batch: int, crop: int) -> dict:
+    from low_light_image_enhancement_tpu.data.synth_device import synth_batch_iter
+    from low_light_image_enhancement_tpu.models.fcn import init_fcn
+    from low_light_image_enhancement_tpu.models.weights import save_params
+    from low_light_image_enhancement_tpu.train import (
+        TrainConfig,
+        make_optimizer,
+        make_supervised_train_step,
+    )
+
+    tcfg = TrainConfig(features=24, batch_size=batch, crop=crop, steps=steps)
+    params = init_fcn(jax.random.PRNGKey(0), features=24)
+    opt_state = make_optimizer(tcfg).init(params)
+    step = make_supervised_train_step(tcfg)
+    data = synth_batch_iter(batch, crop, crop, seed=1)
+    t0 = time.time()
+    first = last = None
+    for i in range(steps):
+        low, high = next(data)
+        params, opt_state, m = step(params, opt_state, low, high)
+        if i == 0:
+            first = float(m["loss"])
+        if (i + 1) % 200 == 0 or i == steps - 1:
+            last = float(m["loss"])
+            print(f"fcn step {i+1}/{steps} loss {last:.4f} ssim "
+                  f"{float(m['ssim']):.4f} "
+                  f"({batch*(i+1)/(time.time()-t0):.0f} img/s)", flush=True)
+    save_params(params, WEIGHTS_DIR / "fcn.npz")
+    return {"model": "fcn", "first_loss": first, "final_loss": last}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=1500)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--crop", type=int, default=256)
+    ap.add_argument("--models", nargs="*", default=["curve", "fcn"])
+    args = ap.parse_args()
+    print("backend:", jax.default_backend(), flush=True)
+    for model in args.models:
+        if model == "curve":
+            print(train_curve(args.steps, args.batch, args.crop), flush=True)
+        elif model == "hybrid":
+            print(train_curve(args.steps, args.batch, args.crop, hybrid=True),
+                  flush=True)
+        elif model == "fcn":
+            print(train_fcn_weights(args.steps, args.batch, args.crop),
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -84,6 +84,33 @@ def test_spatial_sharded_with_data_axis():
     np.testing.assert_allclose(got, want, atol=1e-6)
 
 
+def test_spatial_sharded_u8_matches_pipeline_bit_exact():
+    """u8 sharded path (u8 halos + per-shard fused kernel, interpret mode)
+    must reproduce the single-device u8 pipeline exactly."""
+    from low_light_image_enhancement_tpu.data.synth import synth_batch
+    from low_light_image_enhancement_tpu.pipeline import EnhancePipeline
+
+    cfg = PipelineConfig()
+    mesh = make_mesh(n_data=1, n_spatial=4)
+    lows, _ = synth_batch(2, 64, 100)
+    x_u8 = jnp.transpose(jnp.asarray(lows), (0, 3, 1, 2))  # u8 planar
+
+    got = np.asarray(
+        enhance_spatial_sharded(x_u8, cfg, mesh, use_pallas=True,
+                                interpret=True)
+    )
+    want = EnhancePipeline(cfg, pallas_interpret=True).enhance_batch(lows)
+    want_planar = np.transpose(want, (0, 3, 1, 2))
+    np.testing.assert_array_equal(got, want_planar)
+
+
+def test_spatial_sharded_u8_requires_pallas():
+    mesh = make_mesh(n_data=1, n_spatial=2)
+    x = jnp.zeros((1, 3, 16, 16), jnp.uint8)
+    with pytest.raises(ValueError, match="use_pallas"):
+        enhance_spatial_sharded(x, PipelineConfig(), mesh, use_pallas=False)
+
+
 def test_shard_batch_fn_runs_and_matches():
     mesh = make_mesh()
     f = lambda x: jnp.sin(x) * 2.0
