@@ -1,0 +1,67 @@
+import numpy as np
+import pytest
+
+from low_light_image_enhancement_tpu.config import PipelineConfig
+from low_light_image_enhancement_tpu.data.synth import synth_pair
+from low_light_image_enhancement_tpu.pipeline import EnhancePipeline
+from low_light_image_enhancement_tpu.video import VideoEnhancer
+
+
+def _flickering_video(n=8, h=40, w=64, seed=0):
+    """Static scene under illumination that flickers frame to frame."""
+    rng = np.random.default_rng(seed)
+    _, gt = synth_pair(0, h, w, seed=seed)
+    scene = gt.astype(np.float32) / 255.0
+    frames = []
+    for _ in range(n):
+        level = 0.15 + 0.10 * rng.random()  # flicker between 0.15 and 0.25
+        f = np.clip(scene * level + rng.normal(0, 0.005, scene.shape), 0, 1)
+        frames.append((f * 255).astype(np.uint8))
+    return frames
+
+
+def test_alpha_one_matches_stateless_pipeline():
+    frames = _flickering_video(3)
+    ve = VideoEnhancer(PipelineConfig(), alpha=1.0)
+    pipe = EnhancePipeline(PipelineConfig(), force_jnp=True)
+    for f in frames:
+        # same math up to one fp-associativity ulp in the exp/log chain
+        d = np.abs(ve.process(f).astype(int) - pipe.enhance(f).astype(int))
+        assert d.max() <= 1
+
+
+def test_temporal_smoothing_reduces_flicker():
+    frames = _flickering_video(10)
+
+    def flicker(outs):
+        means = np.array([o.astype(np.float64).mean() for o in outs])
+        return np.abs(np.diff(means)).mean()
+
+    ve_smooth = VideoEnhancer(PipelineConfig(), alpha=0.2)
+    ve_off = VideoEnhancer(PipelineConfig(), alpha=1.0)
+    smooth = [ve_smooth.process(f) for f in frames]
+    raw = [ve_off.process(f) for f in frames]
+    assert flicker(smooth) < flicker(raw) * 0.8
+
+
+def test_constant_video_is_stable():
+    frame = _flickering_video(1)[0]
+    ve = VideoEnhancer(PipelineConfig(), alpha=0.3)
+    outs = [ve.process(frame) for _ in range(4)]
+    # EMA converges onto the same illumination -> outputs settle exactly
+    np.testing.assert_array_equal(outs[-1], outs[-2])
+
+
+def test_reset_and_size_guard():
+    frames = _flickering_video(2)
+    ve = VideoEnhancer(PipelineConfig(), alpha=0.3)
+    ve.process(frames[0])
+    ve.reset()
+    ve.process(frames[1])
+    with pytest.raises(ValueError, match="frame size changed"):
+        ve.process(np.zeros((8, 8, 3), np.uint8))
+
+
+def test_non_retinex_rejected():
+    with pytest.raises(NotImplementedError):
+        VideoEnhancer(PipelineConfig(method="curve"))
