@@ -23,6 +23,7 @@ class PipelineConfig:
     # "curve":   Zero-DCE-style learned curve adjustment (needs CNN params).
     # "hybrid":  retinex illumination boost followed by learned curves.
     # "fcn":     supervised context-aggregation FCN enhancer (paired data).
+    # "decom":   learned Retinex decomposition (RetinexNet-style) + relight.
     method: str = "retinex"
 
     # --- retinex / gamma -----------------------------------------------------

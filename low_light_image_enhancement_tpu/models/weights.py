@@ -19,6 +19,7 @@ PRETRAINED = {
     # adjust), not raw lows — separate weights
     "hybrid": _WEIGHTS_DIR / "curve_hybrid.npz",
     "fcn": _WEIGHTS_DIR / "fcn.npz",
+    "decom": _WEIGHTS_DIR / "decom.npz",
 }
 
 

@@ -76,6 +76,18 @@ def _enhance_u8_batch(
                       compute_dtype=jnp.dtype(cfg.compute_dtype)),
             0.0, 1.0,
         )
+    elif cfg.method == "decom":
+        # learned Retinex decomposition (RetinexNet-style): relight the
+        # learned reflectance with a gamma-brightened learned illumination
+        from low_light_image_enhancement_tpu.models.decom import (
+            apply_decom_net,
+        )
+
+        r, l = apply_decom_net(
+            model_params, xp, compute_dtype=jnp.dtype(cfg.compute_dtype)
+        )
+        l_boost = jnp.clip(l, cfg.illum_eps, 1.0) ** cfg.gamma
+        yp = jnp.clip(r * l_boost, 0.0, 1.0)
     else:
         yp = xp
         if cfg.method in ("retinex", "hybrid"):
@@ -196,6 +208,15 @@ class EnhancePipeline:
             if pre is not None:
                 return pre
             return init_fcn(jax.random.PRNGKey(rng_seed))
+        if config.method == "decom":
+            from low_light_image_enhancement_tpu.models.decom import (
+                init_decom_net,
+            )
+
+            pre = load_pretrained("decom")
+            if pre is not None:
+                return pre
+            return init_decom_net(jax.random.PRNGKey(rng_seed))
         return None
 
     def _compiled(self, b: int, h: int, w: int):

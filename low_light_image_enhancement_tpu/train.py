@@ -250,6 +250,65 @@ def train_curve_cnn(
     return params, history
 
 
+# ------------------------------------------------- decomposition (decom) -- #
+
+def decom_loss(
+    params, low: jnp.ndarray, high: jnp.ndarray, tcfg: "TrainConfig",
+    w_equal_r: float = 0.01, w_smooth: float = 0.1,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """RetinexNet-style decomposition objective on (low, high) pairs:
+    both images must reconstruct as R*L, share one reflectance, and carry
+    structure-aware smooth illumination."""
+    from low_light_image_enhancement_tpu.models.decom import apply_decom_net
+
+    r_lo, l_lo = apply_decom_net(params, low)
+    r_hi, l_hi = apply_decom_net(params, high)
+    recon = jnp.mean(jnp.abs(r_lo * l_lo - low)) + jnp.mean(
+        jnp.abs(r_hi * l_hi - high)
+    )
+    equal_r = jnp.mean(jnp.abs(r_lo - r_hi))
+
+    def smooth(l, img):
+        # illumination gradients cheap where image gradients are strong
+        gray = jnp.mean(img, axis=-3, keepdims=True)
+        dh_l = jnp.abs(l[..., 1:, :] - l[..., :-1, :])
+        dw_l = jnp.abs(l[..., :, 1:] - l[..., :, :-1])
+        dh_i = jnp.abs(gray[..., 1:, :] - gray[..., :-1, :])
+        dw_i = jnp.abs(gray[..., :, 1:] - gray[..., :, :-1])
+        return jnp.mean(dh_l * jnp.exp(-10.0 * dh_i)) + jnp.mean(
+            dw_l * jnp.exp(-10.0 * dw_i)
+        )
+
+    sm = smooth(l_lo, low) + smooth(l_hi, high)
+    total = recon + w_equal_r * equal_r + w_smooth * sm
+    return total, {"loss": total, "recon": recon, "equal_r": equal_r,
+                   "smooth": sm}
+
+
+def make_decom_train_step(
+    tcfg: "TrainConfig", mesh: Optional[Mesh] = None
+) -> Callable:
+    optimizer = make_optimizer(tcfg)
+
+    def step(params, opt_state, low, high):
+        (_, metrics), grads = jax.value_and_grad(decom_loss, has_aux=True)(
+            params, low, high, tcfg
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, metrics
+
+    if mesh is None:
+        return jax.jit(step)
+    batch_sharding = NamedSharding(mesh, P(("data", "spatial")))
+    replicated = NamedSharding(mesh, P())
+    return jax.jit(
+        step,
+        in_shardings=(replicated, replicated, batch_sharding, batch_sharding),
+        out_shardings=(replicated, replicated, replicated),
+    )
+
+
 # ----------------------------------------------------- supervised (FCN) --- #
 
 def paired_loss(

@@ -98,6 +98,37 @@ def train_fcn_weights(steps: int, batch: int, crop: int) -> dict:
     return {"model": "fcn", "first_loss": first, "final_loss": last}
 
 
+def train_decom_weights(steps: int, batch: int, crop: int) -> dict:
+    from low_light_image_enhancement_tpu.data.synth_device import synth_batch_iter
+    from low_light_image_enhancement_tpu.models.decom import init_decom_net
+    from low_light_image_enhancement_tpu.models.weights import save_params
+    from low_light_image_enhancement_tpu.train import (
+        TrainConfig,
+        make_decom_train_step,
+        make_optimizer,
+    )
+
+    tcfg = TrainConfig(batch_size=batch, crop=crop, steps=steps)
+    params = init_decom_net(jax.random.PRNGKey(0))
+    opt_state = make_optimizer(tcfg).init(params)
+    step = make_decom_train_step(tcfg)
+    data = synth_batch_iter(batch, crop, crop, seed=2)
+    t0 = time.time()
+    first = last = None
+    for i in range(steps):
+        low, high = next(data)
+        params, opt_state, m = step(params, opt_state, low, high)
+        if i == 0:
+            first = float(m["loss"])
+        if (i + 1) % 200 == 0 or i == steps - 1:
+            last = float(m["loss"])
+            print(f"decom step {i+1}/{steps} loss {last:.4f} recon "
+                  f"{float(m['recon']):.4f} "
+                  f"({batch*(i+1)/(time.time()-t0):.0f} img/s)", flush=True)
+    save_params(params, WEIGHTS_DIR / "decom.npz")
+    return {"model": "decom", "first_loss": first, "final_loss": last}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=1500)
@@ -114,6 +145,9 @@ def main() -> None:
                   flush=True)
         elif model == "fcn":
             print(train_fcn_weights(args.steps, args.batch, args.crop),
+                  flush=True)
+        elif model == "decom":
+            print(train_decom_weights(args.steps, args.batch, args.crop),
                   flush=True)
 
 
