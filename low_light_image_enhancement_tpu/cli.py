@@ -17,8 +17,11 @@ from low_light_image_enhancement_tpu.config import PRESETS, PipelineConfig
 def _add_config_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--preset", choices=sorted(PRESETS), default=None,
                    help="named benchmark config (BASELINE.json 1-5)")
-    p.add_argument("--method", choices=["retinex", "curve", "hybrid"],
-                   default=None)
+    p.add_argument(
+        "--method",
+        choices=["retinex", "curve", "hybrid", "fcn", "decom"],
+        default=None,
+    )
     p.add_argument("--gamma", type=float, default=None)
     p.add_argument("--denoise-strength", type=float, default=None)
     p.add_argument("--no-pallas", action="store_true",

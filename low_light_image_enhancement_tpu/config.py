@@ -9,6 +9,13 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional, Tuple
 
+# Edge-replicate padding margin of the device graph's canvas. Must cover the
+# total receptive-field radius (blur_radius + 1 for the 3x3 denoise);
+# validated in PipelineConfig.__post_init__.
+MARGIN = 4
+
+_METHODS = ("retinex", "curve", "hybrid", "fcn", "decom")
+
 
 @dataclasses.dataclass(frozen=True)
 class PipelineConfig:
@@ -52,6 +59,26 @@ class PipelineConfig:
 
     # --- sharding (config 5) -------------------------------------------------
     spatial_shards: int = 1      # >1: shard H across `spatial` mesh axis
+
+    def __post_init__(self):
+        if self.method not in _METHODS:
+            raise ValueError(
+                f"unknown method {self.method!r}; choose from {_METHODS}"
+            )
+        if self.blur_radius + 1 > MARGIN:
+            raise ValueError(
+                f"blur_radius={self.blur_radius} needs margin "
+                f"{self.blur_radius + 1} > MARGIN={MARGIN}; the padded-canvas"
+                " wrap-shift scheme would corrupt output pixels"
+            )
+        if self.blur_radius < 1 or self.blur_sigma <= 0:
+            raise ValueError("blur_radius >= 1 and blur_sigma > 0 required")
+        if not 0.0 <= self.denoise_strength <= 1.0:
+            raise ValueError("denoise_strength must be in [0, 1]")
+        if self.denoise_strength > 0.0 and self.denoise_sigma <= 0:
+            raise ValueError("denoise_sigma must be > 0")
+        if self.curve_downsample < 1:
+            raise ValueError("curve_downsample must be >= 1")
 
     def replace(self, **kw) -> "PipelineConfig":
         return dataclasses.replace(self, **kw)

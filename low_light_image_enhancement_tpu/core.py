@@ -24,32 +24,21 @@ from typing import Optional
 
 import jax.numpy as jnp
 
-from low_light_image_enhancement_tpu.config import PipelineConfig
+from low_light_image_enhancement_tpu.config import MARGIN, PipelineConfig
 from low_light_image_enhancement_tpu.ops.curves import apply_curves
 from low_light_image_enhancement_tpu.ops.denoise import bilateral_core
 from low_light_image_enhancement_tpu.ops.filters import (
-    gaussian_kernel_1d,
     roll2d,
+    separable_blur,
 )
 
-# Edge-replicate padding margin. Must cover the total receptive-field radius
-# of the graph (blur_radius + 1 for the 3x3 denoise) and keep padded rows a
-# multiple of the f32 sublane tile (8) when combined with stripe planning.
-MARGIN = 4
+__all__ = ["MARGIN", "illumination_boost", "enhance_core_padded"]
 
 
 def illumination_boost(xp: jnp.ndarray, cfg: PipelineConfig) -> jnp.ndarray:
     """Retinex stage: x * clip(blur(maxRGB), eps, 1) ** (gamma - 1)."""
     l0 = jnp.max(xp, axis=-3)
-    taps = gaussian_kernel_1d(cfg.blur_radius, cfg.blur_sigma)
-    acc = None
-    for i, t in enumerate(taps):
-        term = t * roll2d(l0, i - cfg.blur_radius, 0)
-        acc = term if acc is None else acc + term
-    l = None
-    for j, t in enumerate(taps):
-        term = t * roll2d(acc, 0, j - cfg.blur_radius)
-        l = term if l is None else l + term
+    l = separable_blur(l0, cfg.blur_radius, cfg.blur_sigma, roll2d)
     l = jnp.clip(l, cfg.illum_eps, 1.0)
     boost = jnp.exp((cfg.gamma - 1.0) * jnp.log(l))
     return jnp.clip(xp * boost[..., None, :, :], 0.0, 1.0)

@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from low_light_image_enhancement_tpu.ops.filters import gaussian_kernel_1d, shift2d
+from low_light_image_enhancement_tpu.ops.filters import separable_blur, shift2d
 
 
 def psnr(a: jnp.ndarray, b: jnp.ndarray, max_val: float = 1.0) -> jnp.ndarray:
@@ -27,16 +27,7 @@ def psnr(a: jnp.ndarray, b: jnp.ndarray, max_val: float = 1.0) -> jnp.ndarray:
 
 
 def _ssim_blur(x, radius, sigma):
-    taps = gaussian_kernel_1d(radius, sigma)
-    acc = None
-    for i, t in enumerate(taps):
-        term = t * shift2d(x, i - radius, 0)
-        acc = term if acc is None else acc + term
-    out = None
-    for j, t in enumerate(taps):
-        term = t * shift2d(acc, 0, j - radius)
-        out = term if out is None else out + term
-    return out
+    return separable_blur(x, radius, sigma, shift2d)
 
 
 def ssim(

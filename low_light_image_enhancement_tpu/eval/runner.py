@@ -83,6 +83,11 @@ def eval_lol(
                 int(np.abs(out.astype(np.int32) - ref.astype(np.int32)).max()),
             )
 
+    if not psnrs:
+        raise RuntimeError(
+            f"eval produced no results: all {skipped} images failed "
+            "(see llie.eval warnings above)"
+        )
     psnrs_a = np.asarray(psnrs)
     report: Dict[str, float] = {
         "n_images": float(len(psnrs)),

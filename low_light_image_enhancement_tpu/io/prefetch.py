@@ -60,12 +60,9 @@ class PrefetchQueue:
 
     def _stage(self, item: Any) -> Any:
         if self._device_put:
+            # jax.device_put enqueues the host->device copy asynchronously;
+            # it proceeds while the consumer computes on earlier batches.
             item = jax.device_put(item, self._device)
-            # Force the async host->device copy to be enqueued now.
-            jax.tree_util.tree_map(
-                lambda x: getattr(x, "copy_to_host_async", lambda: None),
-                item,
-            )
         return item
 
     def _put(self, item: Any) -> bool:

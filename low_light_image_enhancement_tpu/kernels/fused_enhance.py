@@ -31,7 +31,7 @@ from low_light_image_enhancement_tpu.kernels.striping import (
     plan_stripes,
 )
 from low_light_image_enhancement_tpu.ops.denoise import bilateral_core
-from low_light_image_enhancement_tpu.ops.filters import gaussian_kernel_1d
+from low_light_image_enhancement_tpu.ops.filters import separable_blur
 
 
 def kroll2d(x: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
@@ -44,21 +44,8 @@ def kroll2d(x: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
     return x
 
 
-def _blur_plane(l0, taps, radius):
-    # Identical accumulation order to ops.filters._separable_blur.
-    acc = None
-    for i, t in enumerate(taps):
-        term = t * kroll2d(l0, i - radius, 0)
-        acc = term if acc is None else acc + term
-    out = None
-    for j, t in enumerate(taps):
-        term = t * kroll2d(acc, 0, j - radius)
-        out = term if out is None else out + term
-    return out
-
-
 def _retinex_kernel(
-    x_ref, o_ref, *, taps, radius, gamma, eps, inv2s2, strength, margin, th,
+    x_ref, o_ref, *, radius, sigma, gamma, eps, inv2s2, strength, margin, th,
     u8_io,
 ):
     raw = x_ref[0, 0]  # (3, THh, Wp)
@@ -68,7 +55,7 @@ def _retinex_kernel(
     else:
         x = raw
     l0 = jnp.maximum(jnp.maximum(x[0], x[1]), x[2])
-    l = jnp.clip(_blur_plane(l0, taps, radius), eps, 1.0)
+    l = jnp.clip(separable_blur(l0, radius, sigma, kroll2d), eps, 1.0)
     boost = jnp.exp((gamma - 1.0) * jnp.log(l))
     for c in range(3):  # per-plane 2-D ops keep Mosaic layouts simple
         y = jnp.clip(x[c] * boost, 0.0, 1.0)
@@ -109,8 +96,8 @@ def fused_retinex(
 
     kernel = functools.partial(
         _retinex_kernel,
-        taps=gaussian_kernel_1d(cfg.blur_radius, cfg.blur_sigma),
         radius=cfg.blur_radius,
+        sigma=cfg.blur_sigma,
         gamma=cfg.gamma,
         eps=cfg.illum_eps,
         inv2s2=1.0 / (2.0 * cfg.denoise_sigma * cfg.denoise_sigma),

@@ -46,7 +46,7 @@ from low_light_image_enhancement_tpu.kernels.striping import (
     plan_stripes,
 )
 from low_light_image_enhancement_tpu.ops.denoise import bilateral_core
-from low_light_image_enhancement_tpu.ops.filters import gaussian_kernel_1d
+from low_light_image_enhancement_tpu.ops.filters import separable_blur
 
 
 def pad_hwc(imgs_u8: jnp.ndarray, plan: StripePlan, h: int, w: int):
@@ -61,25 +61,12 @@ def pad_hwc(imgs_u8: jnp.ndarray, plan: StripePlan, h: int, w: int):
     )
 
 
-def _blur_interleaved(l0, taps, radius):
-    # Same accumulation order as the planar kernel; lane shifts x3.
-    acc = None
-    for i, t in enumerate(taps):
-        term = t * kroll2d(l0, i - radius, 0)
-        acc = term if acc is None else acc + term
-    out = None
-    for j, t in enumerate(taps):
-        term = t * kroll2d(acc, 0, 3 * (j - radius))
-        out = term if out is None else out + term
-    return out
-
-
 def _shift_interleaved(x, dy, dx):
     return kroll2d(x, dy, 3 * dx)
 
 
 def _retinex_hwc_kernel(
-    x_ref, o_ref, *, taps, radius, gamma, eps, inv2s2, strength, margin, th
+    x_ref, o_ref, *, radius, sigma, gamma, eps, inv2s2, strength, margin, th
 ):
     raw = x_ref[0, 0]  # (THh, 3*Wp) u8 interleaved
     x = raw.astype(jnp.int32).astype(jnp.float32) * (1.0 / 255.0)
@@ -94,7 +81,10 @@ def _retinex_hwc_kernel(
         jnp.where(lane_mod == 1, kroll2d(m3, 0, 1), kroll2d(m3, 0, 2)),
     )
 
-    l = jnp.clip(_blur_interleaved(l0, taps, radius), eps, 1.0)
+    # same blur as everywhere else, with lane shifts x3 (interleaved layout)
+    l = jnp.clip(
+        separable_blur(l0, radius, sigma, _shift_interleaved), eps, 1.0
+    )
     boost = jnp.exp((gamma - 1.0) * jnp.log(l))
     y = jnp.clip(x * boost, 0.0, 1.0)
     if strength > 0.0:
@@ -129,8 +119,8 @@ def fused_retinex_hwc(
 
     kernel = functools.partial(
         _retinex_hwc_kernel,
-        taps=gaussian_kernel_1d(cfg.blur_radius, cfg.blur_sigma),
         radius=cfg.blur_radius,
+        sigma=cfg.blur_sigma,
         gamma=cfg.gamma,
         eps=cfg.illum_eps,
         inv2s2=1.0 / (2.0 * cfg.denoise_sigma * cfg.denoise_sigma),

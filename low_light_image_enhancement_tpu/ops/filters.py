@@ -60,7 +60,14 @@ def shift2d(x: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
     return x
 
 
-def _separable_blur(x, radius, sigma, shift_fn):
+def separable_blur(x, radius, sigma, shift_fn):
+    """Separable Gaussian blur as two tap loops over ``shift_fn``.
+
+    This is THE blur of the framework: every consumer (jnp core, Pallas
+    kernels, SSIM window, video path) calls it with its own shift function
+    so taps and accumulation order — and therefore kernel-vs-jnp parity —
+    stay identical everywhere by construction.
+    """
     taps = gaussian_kernel_1d(radius, sigma)
     acc = None
     for i, t in enumerate(taps):
@@ -71,6 +78,9 @@ def _separable_blur(x, radius, sigma, shift_fn):
         term = t * shift_fn(acc, 0, j - radius)
         out = term if out is None else out + term
     return out
+
+
+_separable_blur = separable_blur  # backward-compat alias
 
 
 def gaussian_blur(

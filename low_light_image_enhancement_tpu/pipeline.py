@@ -278,12 +278,14 @@ class EnhancePipeline:
         from low_light_image_enhancement_tpu.io.prefetch import PrefetchQueue
 
         pending = []
+        # device_put=True: the worker thread enqueues the host->HBM copy for
+        # frame N+1 while the device computes on frame N (double buffering).
         with PrefetchQueue(frames, depth=depth, transform=np.asarray,
-                           device_put=False) as q:
+                           device_put=True) as q:
             for frame in q:
                 single = frame.ndim == 3
                 batch = frame[None] if single else frame
-                out = self.enhance_batch_device(jnp.asarray(batch))
+                out = self.enhance_batch_device(batch)
                 pending.append((out, single))
                 # keep one batch in flight: overlap device compute with the
                 # host fetch of the previous result

@@ -43,6 +43,9 @@ class EnhanceServer:
         self._max_delay = max_delay_ms / 1000.0
         self._q: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
+        # serializes submit-vs-close so a request can't slip into the queue
+        # after close() drains it (its Future would never resolve)
+        self._submit_lock = threading.Lock()
         self._thread = threading.Thread(target=self._dispatch, daemon=True)
         self._thread.start()
 
@@ -50,13 +53,14 @@ class EnhanceServer:
 
     def submit(self, img_u8: np.ndarray) -> "Future[np.ndarray]":
         """Queue one (H, W, 3) u8 image; returns a Future of the result."""
-        if self._stop.is_set():
-            raise RuntimeError("server closed")
         img_u8 = np.asarray(img_u8)
         if img_u8.ndim != 3 or img_u8.shape[-1] != 3:
             raise ValueError(f"expected RGB (H,W,3), got {img_u8.shape}")
         fut: "Future[np.ndarray]" = Future()
-        self._q.put((img_u8, fut))
+        with self._submit_lock:
+            if self._stop.is_set():
+                raise RuntimeError("server closed")
+            self._q.put((img_u8, fut))  # unbounded queue: never blocks
         return fut
 
     def enhance(self, img_u8: np.ndarray) -> np.ndarray:
@@ -64,7 +68,8 @@ class EnhanceServer:
         return self.submit(img_u8).result()
 
     def close(self) -> None:
-        self._stop.set()
+        with self._submit_lock:
+            self._stop.set()
         self._thread.join(timeout=10.0)
         # fail any stragglers
         try:

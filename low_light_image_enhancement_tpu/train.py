@@ -97,16 +97,23 @@ class TrainConfig:
     log_every: int = 50
     checkpoint_every: int = 500
     compute_dtype: str = "float32"
+    # Rematerialize the CNN forward in the backward pass (jax.checkpoint):
+    # at the spec'd config-3 size (512x512 batch 64) stored conv activations
+    # alone are ~13 GB — past a v5e's 16 GB HBM without remat.
+    remat: bool = True
 
 
 def zero_reference_loss(
     params, batch: jnp.ndarray, tcfg: TrainConfig
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """batch: (B, 3, H, W) f32 low-light input in [0, 1]."""
-    a = apply_curve_cnn(
-        params, batch, n_iter=tcfg.n_iter,
+    cnn = lambda p, x: apply_curve_cnn(
+        p, x, n_iter=tcfg.n_iter,
         compute_dtype=jnp.dtype(tcfg.compute_dtype),
     )
+    if tcfg.remat:
+        cnn = jax.checkpoint(cnn)
+    a = cnn(params, batch)
     y = jnp.clip(apply_curves(batch, a), 0.0, 1.0)
     l_exp = exposure_loss(y, tcfg.exposure_level)
     l_col = color_constancy_loss(y)
@@ -206,7 +213,9 @@ def train_curve_cnn(
 
     if data_iter is None:
         def _synth_iter():
-            i = 0
+            # offset by the restored step so a resumed run continues the
+            # data stream instead of replaying batches it already trained on
+            i = start_step * tcfg.batch_size
             while True:
                 lows, _ = synth_batch(
                     tcfg.batch_size, tcfg.crop, tcfg.crop, seed=seed, start=i
@@ -320,7 +329,11 @@ def paired_loss(
     from low_light_image_enhancement_tpu.eval.metrics import ssim
     from low_light_image_enhancement_tpu.models.fcn import apply_fcn
 
-    y = apply_fcn(params, low, compute_dtype=jnp.dtype(tcfg.compute_dtype))
+    net = lambda p, x: apply_fcn(p, x,
+                                 compute_dtype=jnp.dtype(tcfg.compute_dtype))
+    if tcfg.remat:
+        net = jax.checkpoint(net)
+    y = net(params, low)
     l1 = jnp.mean(jnp.abs(y - high))
     s = jnp.mean(ssim(y, high))
     total = l1 + w_ssim * (1.0 - s)
@@ -391,7 +404,7 @@ def train_fcn(
 
     if data_iter is None:
         def _synth_pairs():
-            i = 0
+            i = start_step * tcfg.batch_size  # continue the stream on resume
             while True:
                 lows, highs = synth_batch(
                     tcfg.batch_size, tcfg.crop, tcfg.crop, seed=seed, start=i

@@ -28,27 +28,15 @@ from low_light_image_enhancement_tpu.ops.colorspace import (
     quantize_u8,
 )
 from low_light_image_enhancement_tpu.ops.denoise import bilateral_core
-from low_light_image_enhancement_tpu.ops.filters import (
-    gaussian_kernel_1d,
-    roll2d,
-)
+from low_light_image_enhancement_tpu.ops.filters import roll2d, separable_blur
 from low_light_image_enhancement_tpu.pipeline import pad_planar
 
 State = Tuple[jnp.ndarray, jnp.ndarray]  # (initialized flag, L_ema)
 
 
 def _illum(xp: jnp.ndarray, cfg: PipelineConfig) -> jnp.ndarray:
-    l0 = jnp.max(xp, axis=-3)
-    taps = gaussian_kernel_1d(cfg.blur_radius, cfg.blur_sigma)
-    acc = None
-    for i, t in enumerate(taps):
-        term = t * roll2d(l0, i - cfg.blur_radius, 0)
-        acc = term if acc is None else acc + term
-    out = None
-    for j, t in enumerate(taps):
-        term = t * roll2d(acc, 0, j - cfg.blur_radius)
-        out = term if out is None else out + term
-    return out
+    return separable_blur(jnp.max(xp, axis=-3), cfg.blur_radius,
+                          cfg.blur_sigma, roll2d)
 
 
 def video_step(

@@ -109,17 +109,23 @@ def config3_curve_cnn(quick: bool) -> dict:
         make_train_step,
     )
 
+    import jax.random as jrandom
+
     bs = 8 if quick else 64
     crop = 128 if quick else 512
     tcfg = TrainConfig(batch_size=bs, crop=crop)
     params, opt_state = init_train_state(tcfg)
     step = make_train_step(tcfg)
-    batch = jnp.asarray(
-        np.random.default_rng(0).random((bs, 3, crop, crop), np.float32)
-    )
+    # generate the batch on device (no 200 MB host upload through a tunnel)
+    batch = jax.jit(
+        lambda k: jrandom.uniform(k, (bs, 3, crop, crop), jnp.float32)
+    )(jrandom.PRNGKey(0))
 
+    print(f"[config3] compiling {crop}x{crop} b{bs} train step...",
+          file=sys.stderr, flush=True)
     params, opt_state, m = step(params, opt_state, batch)  # compile
     _sync(m["loss"])
+    print("[config3] compiled; timing", file=sys.stderr, flush=True)
     n = 3 if quick else 10
     t0 = time.perf_counter()
     for _ in range(n):

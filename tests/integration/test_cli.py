@@ -36,6 +36,17 @@ def test_cli_eval_json_report(tmp_path, capsys, monkeypatch):
     assert "psnr_mean" in report and "ssim_mean" in report
 
 
+def test_cli_all_methods_reachable(tmp_path):
+    low, _ = synth_pair(2, 32, 48)
+    src = tmp_path / "in.png"
+    encode_image(low, src)
+    for method in ("fcn", "decom"):
+        assert main([
+            "enhance", str(src), str(tmp_path / f"{method}.png"),
+            "--method", method,
+        ]) == 0
+
+
 def test_cli_train_tiny(tmp_path):
     assert main([
         "train", "--batch", "2", "--crop", "32", "--steps", "2",
