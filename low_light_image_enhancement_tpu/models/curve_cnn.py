@@ -84,8 +84,9 @@ def apply_curve_cnn(
     a = jnp.tanh(cv("c7", jnp.concatenate([x1, x6], axis=-1)))  # (B,H,W,3*it)
 
     b, h, w, _ = a.shape
-    a = a.reshape(b, h, w, n_iter, 3)
-    a = jnp.transpose(a, (0, 3, 4, 1, 2))  # (B, n_iter, 3, H, W)
+    # reshape only on leading dims — a (B,H,W,it,3) intermediate would put
+    # (it, 3) in the tiled minor dims and cost XLA a >4x padding blowup
+    a = jnp.transpose(a, (0, 3, 1, 2)).reshape(b, n_iter, 3, h, w)
     return a if batched else a[0]
 
 

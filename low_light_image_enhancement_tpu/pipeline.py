@@ -236,6 +236,17 @@ class EnhancePipeline:
             self._cache[key] = fn
         return fn
 
+    def warmup(self, shapes) -> None:
+        """Pre-compile for a list of (batch, height, width) shapes so the
+        first real request doesn't pay XLA compile latency (serving cold-
+        start). Respects ``bucket`` by rounding shapes the same way."""
+        for b, h, w in shapes:
+            if self.bucket:
+                g = self.bucket
+                h, w = -(-h // g) * g, -(-w // g) * g
+            dummy = jnp.zeros((b, h, w, 3), jnp.uint8)
+            self._compiled(b, h, w)(dummy, self.model_params)
+
     def enhance_batch_device(self, imgs_u8) -> jnp.ndarray:
         """(B, H, W, 3) u8 -> enhanced u8, left on device (no host sync)."""
         b, h, w, c = imgs_u8.shape

@@ -101,6 +101,12 @@ class TrainConfig:
     # at the spec'd config-3 size (512x512 batch 64) stored conv activations
     # alone are ~13 GB — past a v5e's 16 GB HBM without remat.
     remat: bool = True
+    # Gradient accumulation: split each batch into `microbatch`-sized chunks
+    # scanned sequentially, summing grads before one optimizer update —
+    # numerically the full-batch step at a fraction of peak activation HBM.
+    # None = no accumulation. (512x512 b64 on v5e needs microbatch <= 8:
+    # 32-channel NHWC activations pad 4x on TPU lanes.)
+    microbatch: Optional[int] = None
 
 
 def zero_reference_loss(
@@ -137,6 +143,42 @@ def make_optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
     return optax.adamw(tcfg.learning_rate, weight_decay=tcfg.weight_decay)
 
 
+def _accumulated_grads(loss_fn, params, tcfg: TrainConfig, *batches):
+    """value_and_grad over the whole batch, microbatched via lax.scan when
+    tcfg.microbatch is set (mean-of-means == full-batch mean: equal chunks)."""
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    mb = tcfg.microbatch
+    n = batches[0].shape[0]
+    if not mb or mb >= n:
+        (_, metrics), grads = grad_fn(params, *batches, tcfg)
+        return metrics, grads
+    if n % mb:
+        raise ValueError(f"batch {n} not divisible by microbatch {mb}")
+    chunks = tuple(
+        b.reshape(n // mb, mb, *b.shape[1:]) for b in batches
+    )
+
+    def body(carry, chunk):
+        acc_metrics, acc_grads = carry
+        (_, metrics), grads = grad_fn(params, *chunk, tcfg)
+        acc_metrics = jax.tree_util.tree_map(jnp.add, acc_metrics, metrics)
+        acc_grads = jax.tree_util.tree_map(jnp.add, acc_grads, grads)
+        return (acc_metrics, acc_grads), None
+
+    (_, m_shape), _ = jax.eval_shape(
+        lambda p, *bs: grad_fn(p, *bs, tcfg), params, *(c[0] for c in chunks)
+    )
+    zero_m = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), m_shape
+    )
+    zero_g = jax.tree_util.tree_map(jnp.zeros_like, params)
+    (metrics, grads), _ = lax.scan(body, (zero_m, zero_g), chunks)
+    scale = mb / n
+    metrics = jax.tree_util.tree_map(lambda x: x * scale, metrics)
+    grads = jax.tree_util.tree_map(lambda x: x * scale, grads)
+    return metrics, grads
+
+
 def make_train_step(
     tcfg: TrainConfig, mesh: Optional[Mesh] = None
 ) -> Callable:
@@ -146,9 +188,9 @@ def make_train_step(
     optimizer = make_optimizer(tcfg)
 
     def step(params, opt_state, batch):
-        (_, metrics), grads = jax.value_and_grad(
-            zero_reference_loss, has_aux=True
-        )(params, batch, tcfg)
+        metrics, grads = _accumulated_grads(
+            zero_reference_loss, params, tcfg, batch
+        )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, metrics
@@ -300,8 +342,8 @@ def make_decom_train_step(
     optimizer = make_optimizer(tcfg)
 
     def step(params, opt_state, low, high):
-        (_, metrics), grads = jax.value_and_grad(decom_loss, has_aux=True)(
-            params, low, high, tcfg
+        metrics, grads = _accumulated_grads(
+            decom_loss, params, tcfg, low, high
         )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -348,8 +390,8 @@ def make_supervised_train_step(
     optimizer = make_optimizer(tcfg)
 
     def step(params, opt_state, low, high):
-        (_, metrics), grads = jax.value_and_grad(paired_loss, has_aux=True)(
-            params, low, high, tcfg
+        metrics, grads = _accumulated_grads(
+            paired_loss, params, tcfg, low, high
         )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)

@@ -113,7 +113,10 @@ def config3_curve_cnn(quick: bool) -> dict:
 
     bs = 8 if quick else 64
     crop = 128 if quick else 512
-    tcfg = TrainConfig(batch_size=bs, crop=crop)
+    # at the full spec size, 32-ch NHWC activations pad 4x on TPU lanes:
+    # accumulate grads over microbatches of 8 to fit 16 GB HBM
+    tcfg = TrainConfig(batch_size=bs, crop=crop,
+                       microbatch=None if quick else 8)
     params, opt_state = init_train_state(tcfg)
     step = make_train_step(tcfg)
     # generate the batch on device (no 200 MB host upload through a tunnel)

@@ -1,0 +1,52 @@
+"""Gradient accumulation: a microbatched step must match the full-batch step
+numerically (same grads up to fp reassociation)."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from low_light_image_enhancement_tpu.train import (
+    TrainConfig,
+    init_train_state,
+    make_train_step,
+)
+
+_BASE = TrainConfig(features=8, n_iter=2, batch_size=8, crop=32, steps=1)
+
+
+def _batch(seed=0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.random((8, 3, 32, 32), np.float32) * 0.3)
+
+
+def test_microbatch_matches_full_batch():
+    params, opt_state = init_train_state(_BASE)
+    batch = _batch()
+    full = make_train_step(_BASE)
+    micro = make_train_step(dataclasses.replace(_BASE, microbatch=2))
+    p1, _, m1 = full(params, opt_state, batch)
+    p2, _, m2 = micro(params, opt_state, batch)
+    assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-4
+    np.testing.assert_allclose(
+        np.asarray(p1["c1"]["w"]), np.asarray(p2["c1"]["w"]), atol=1e-5
+    )
+
+
+def test_microbatch_validates_divisibility():
+    import pytest
+
+    params, opt_state = init_train_state(_BASE)
+    step = make_train_step(dataclasses.replace(_BASE, microbatch=3))
+    with pytest.raises(ValueError, match="divisible"):
+        step(params, opt_state, _batch())
+
+
+def test_microbatch_none_and_oversize_are_plain_steps():
+    params, opt_state = init_train_state(_BASE)
+    batch = _batch(1)
+    plain = make_train_step(_BASE)
+    oversize = make_train_step(dataclasses.replace(_BASE, microbatch=64))
+    _, _, m1 = plain(params, opt_state, batch)
+    _, _, m2 = oversize(params, opt_state, batch)
+    assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-6

@@ -102,6 +102,15 @@ def test_jit_cache_one_entry_per_shape():
     assert len(pipe._cache) == 2
 
 
+def test_warmup_precompiles():
+    pipe = EnhancePipeline(bucket=64)
+    pipe.warmup([(1, 40, 60), (2, 100, 60)])
+    assert len(pipe._cache) == 2
+    lows, _ = synth_batch(1, 40, 60)
+    pipe.enhance_batch(lows)  # served from cache
+    assert len(pipe._cache) == 2
+
+
 def test_odd_sizes_pad_correctly():
     for h, w in [(33, 47), (8, 128), (130, 200)]:
         low, _ = synth_pair(3, h, w)
