@@ -1,0 +1,26 @@
+# Developer entry points. TPU runs use the ambient (axon) backend; CPU test
+# runs force the 8-fake-device platform via tests/conftest.py.
+
+.PHONY: test bench bench-configs eval demo train-weights clean
+
+test:
+	python -m pytest tests/ -x -q
+
+bench:
+	python bench.py
+
+bench-configs:
+	python scripts/bench_configs.py --quick
+
+eval:
+	python scripts/eval_lol.py --max-images 8
+
+demo:
+	python examples/demo.py
+
+train-weights:
+	python scripts/train_weights.py --steps 1200 --batch 16 --crop 256
+
+clean:
+	find . -name __pycache__ -type d -exec rm -rf {} + 2>/dev/null; true
+	rm -rf .pytest_cache demo_out

@@ -26,15 +26,16 @@ _CONV_DN = ("NHWC", "HWIO", "NHWC")
 
 
 def _conv(x, w, b, compute_dtype):
+    # activations stay in compute_dtype end to end (uniform dtypes keep the
+    # conv VJP well-typed); the MXU accumulates bf16 products in f32 natively
     y = lax.conv_general_dilated(
         x.astype(compute_dtype),
         w.astype(compute_dtype),
         window_strides=(1, 1),
         padding="SAME",
         dimension_numbers=_CONV_DN,
-        preferred_element_type=jnp.float32,
     )
-    return y + b.astype(jnp.float32)
+    return y + b.astype(compute_dtype)
 
 
 def init_curve_cnn(
@@ -81,7 +82,8 @@ def apply_curve_cnn(
     x4 = jax.nn.relu(cv("c4", x3))
     x5 = jax.nn.relu(cv("c5", jnp.concatenate([x3, x4], axis=-1)))
     x6 = jax.nn.relu(cv("c6", jnp.concatenate([x2, x5], axis=-1)))
-    a = jnp.tanh(cv("c7", jnp.concatenate([x1, x6], axis=-1)))  # (B,H,W,3*it)
+    a = jnp.tanh(cv("c7", jnp.concatenate([x1, x6], axis=-1)))
+    a = a.astype(jnp.float32)  # (B, H, W, 3*it); curves applied in f32
 
     b, h, w, _ = a.shape
     # reshape only on leading dims — a (B,H,W,it,3) intermediate would put

@@ -20,15 +20,16 @@ _CONV_DN = ("NHWC", "HWIO", "NHWC")
 
 
 def _conv(x, w, b, compute_dtype):
+    # uniform compute_dtype keeps the conv VJP well-typed; MXU accumulates
+    # bf16 products in f32 natively
     y = lax.conv_general_dilated(
         x.astype(compute_dtype),
         w.astype(compute_dtype),
         window_strides=(1, 1),
         padding="SAME",
         dimension_numbers=_CONV_DN,
-        preferred_element_type=jnp.float32,
     )
-    return y + b.astype(jnp.float32)
+    return y + b.astype(compute_dtype)
 
 
 def init_decom_net(key: jax.Array, features: int = 32) -> Params:
@@ -62,7 +63,7 @@ def apply_decom_net(
         h = jax.nn.relu(_conv(h, params[f"c{i}"]["w"], params[f"c{i}"]["b"],
                               compute_dtype))
     out = jax.nn.sigmoid(_conv(h, params["c5"]["w"], params["c5"]["b"],
-                               compute_dtype))
+                               compute_dtype)).astype(jnp.float32)
     out = jnp.transpose(out, (0, 3, 1, 2))  # (B, 4, H, W)
     r, l = out[:, :3], out[:, 3:4]
     return (r, l) if batched else (r[0], l[0])

@@ -23,6 +23,8 @@ _CONV_DN = ("NHWC", "HWIO", "NHWC")
 
 
 def _conv(x, w, b, dilation: int, compute_dtype):
+    # uniform compute_dtype keeps the conv VJP well-typed; MXU accumulates
+    # bf16 products in f32 natively
     y = lax.conv_general_dilated(
         x.astype(compute_dtype),
         w.astype(compute_dtype),
@@ -30,9 +32,8 @@ def _conv(x, w, b, dilation: int, compute_dtype):
         padding="SAME",
         rhs_dilation=(dilation, dilation),
         dimension_numbers=_CONV_DN,
-        preferred_element_type=jnp.float32,
     )
-    return y + b.astype(jnp.float32)
+    return y + b.astype(compute_dtype)
 
 
 def _dilations(depth: int) -> Tuple[int, ...]:
@@ -79,7 +80,7 @@ def apply_fcn(
                               negative_slope=0.2)
     out = jax.nn.sigmoid(
         _conv(h, params["out"]["w"], params["out"]["b"], 1, compute_dtype)
-    )
+    ).astype(jnp.float32)
     out = jnp.transpose(out, (0, 3, 1, 2))
     return out if batched else out[0]
 

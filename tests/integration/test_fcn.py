@@ -51,10 +51,10 @@ def test_supervised_step_reduces_loss():
     opt_state = make_optimizer(tcfg).init(params)
     step = make_supervised_train_step(tcfg)
     rng = np.random.default_rng(0)
-    low = jnp.asarray(rng.random((2, 3, 32, 32), np.float32) * 0.3)
+    low = jnp.asarray(rng.random((2, 3, 24, 24), np.float32) * 0.3)
     high = jnp.clip(low * 3.0, 0, 1)
     losses = []
-    for _ in range(12):
+    for _ in range(8):
         params, opt_state, m = step(params, opt_state, low, high)
         losses.append(float(m["loss"]))
     assert losses[-1] < losses[0]

@@ -77,7 +77,7 @@ def test_spatial_sharded_with_data_axis():
     cfg = PipelineConfig()
     mesh = make_mesh(n_data=2, n_spatial=4)
     rng = np.random.default_rng(2)
-    x = jnp.asarray(rng.random((4, 3, 64, 100), dtype=np.float32))
+    x = jnp.asarray(rng.random((2, 3, 48, 64), dtype=np.float32))
     got = np.asarray(enhance_spatial_sharded(x, cfg, mesh))
     single = make_mesh(n_data=1, n_spatial=1, devices=jax.devices()[:1])
     want = np.asarray(enhance_spatial_sharded(x, cfg, single))

@@ -16,8 +16,8 @@ from low_light_image_enhancement_tpu.models.weights import (
 
 
 def test_synth_pair_batch_properties():
-    low, high = synth_pair_batch(jax.random.PRNGKey(0), 4, 32, 48)
-    assert low.shape == high.shape == (4, 3, 32, 48)
+    low, high = synth_pair_batch(jax.random.PRNGKey(0), 2, 24, 32)
+    assert low.shape == high.shape == (2, 3, 24, 32)
     assert float(low.min()) >= 0.0 and float(high.max()) <= 1.0
     # low-light: much darker than ground truth
     assert float(low.mean()) < float(high.mean()) * 0.5
