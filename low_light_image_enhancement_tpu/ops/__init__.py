@@ -42,6 +42,10 @@ from low_light_image_enhancement_tpu.ops.fourier import (
     fourier_amplitude_boost,
     amplitude_phase_swap,
 )
+from low_light_image_enhancement_tpu.ops.contrast import (
+    autocontrast,
+    equalize_hist,
+)
 
 __all__ = [
     "normalize_u8",
@@ -68,4 +72,6 @@ __all__ = [
     "raw_to_srgb",
     "fourier_amplitude_boost",
     "amplitude_phase_swap",
+    "autocontrast",
+    "equalize_hist",
 ]

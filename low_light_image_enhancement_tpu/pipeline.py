@@ -252,7 +252,42 @@ class EnhancePipeline:
         b, h, w, c = imgs_u8.shape
         if c != 3:
             raise ValueError(f"expected RGB (B,H,W,3), got {imgs_u8.shape}")
+        if self.config.spatial_shards > 1:
+            return self._sharded(b, h, w)(imgs_u8)
         return self._compiled(b, h, w)(imgs_u8, self.model_params)
+
+    def _sharded(self, b: int, h: int, w: int):
+        """Spatially-sharded execution (config 5): rows split over a
+        'spatial' mesh axis with halo exchange; u8 end-to-end on the fused
+        kernel when Pallas is active."""
+        key = ("sharded", b, h, w)
+        fn = self._cache.get(key)
+        if fn is None:
+            from low_light_image_enhancement_tpu.parallel.sharding import (
+                enhance_spatial_sharded,
+                make_mesh,
+            )
+
+            n_sp = min(self.config.spatial_shards, len(jax.devices()))
+            mesh = make_mesh(n_data=1, n_spatial=n_sp)
+            cfg = self.config
+            use_pallas = self._use_pallas
+            interp = self._pallas_interpret
+
+            def run(imgs_u8):
+                x = jnp.transpose(imgs_u8, (0, 3, 1, 2))
+                if not use_pallas:
+                    x = normalize_u8(x)
+                y = enhance_spatial_sharded(
+                    x, cfg, mesh, use_pallas=use_pallas, interpret=interp
+                )
+                if not use_pallas:
+                    y = quantize_u8(y)
+                return jnp.transpose(y, (0, 2, 3, 1))
+
+            fn = jax.jit(run)
+            self._cache[key] = fn
+        return fn
 
     def enhance_batch(self, imgs_u8) -> np.ndarray:
         """(B, H, W, 3) u8 -> (B, H, W, 3) u8 enhanced (host numpy)."""
