@@ -46,7 +46,7 @@ def bench_throughput(
     batch: int = 64,
     h: int = 400,
     w: int = 600,
-    repeats: int = 5,
+    repeats: int = 7,
     n_short: int = 4,
     n_long: int = 20,
     method: str = "retinex",
@@ -83,7 +83,7 @@ def bench_throughput(
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch", type=int, default=64)
-    parser.add_argument("--repeats", type=int, default=5)
+    parser.add_argument("--repeats", type=int, default=7)
     args = parser.parse_args()
 
     res = bench_throughput(batch=args.batch, repeats=args.repeats)
