@@ -17,18 +17,15 @@ from __future__ import annotations
 
 import functools
 
-import jax
 import jax.numpy as jnp
-from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from low_light_image_enhancement_tpu.config import PipelineConfig
-from low_light_image_enhancement_tpu.core import MARGIN
 from low_light_image_enhancement_tpu.kernels.striping import (
     StripePlan,
     extract_stripes,
     merge_stripes,
-    plan_stripes,
+    stripe_pallas_call,
 )
 from low_light_image_enhancement_tpu.ops.denoise import bilateral_core
 from low_light_image_enhancement_tpu.ops.filters import separable_blur
@@ -88,9 +85,7 @@ def fused_retinex(
       the result is row 0 of the original unpadded image. Columns still carry
       the horizontal padding; the caller crops [margin, margin + W).
     """
-    b = xp.shape[0]
     u8_io = xp.dtype == jnp.uint8
-    thh = plan.stripe_rows + 2 * plan.margin
     stripes = extract_stripes(xp, plan)  # (B, 3, S, THh, Wp)
     stripes = jnp.transpose(stripes, (0, 2, 1, 3, 4))  # (B, S, 3, THh, Wp)
 
@@ -106,39 +101,6 @@ def fused_retinex(
         th=plan.stripe_rows,
         u8_io=u8_io,
     )
-    out = pl.pallas_call(
-        kernel,
-        grid=(b, plan.n_stripes),
-        in_specs=[
-            pl.BlockSpec(
-                (1, 1, 3, thh, plan.padded_w),
-                lambda i, j: (i, j, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            )
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 1, 3, plan.stripe_rows, plan.padded_w),
-            lambda i, j: (i, j, 0, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct(
-            (b, plan.n_stripes, 3, plan.stripe_rows, plan.padded_w),
-            xp.dtype,
-        ),
-        interpret=interpret,
-    )(stripes)
+    out = stripe_pallas_call(kernel, stripes, plan, xp.dtype,
+                             interpret=interpret)
     return merge_stripes(out, plan)
-
-
-def fused_retinex_auto(
-    xp: jnp.ndarray, cfg: PipelineConfig, interpret: bool = False
-) -> jnp.ndarray:
-    """Convenience wrapper deriving the stripe plan from ``xp``'s shape."""
-    hp, wp = xp.shape[-2], xp.shape[-1]
-    plan = plan_stripes(hp - 2 * MARGIN, wp - 2 * MARGIN, MARGIN,
-                        cfg.stripe_rows)
-    if plan.padded_h != hp or plan.padded_w != wp:
-        raise ValueError(
-            f"padded shape {(hp, wp)} inconsistent with plan {plan}"
-        )
-    return fused_retinex(xp, cfg, plan, interpret=interpret)

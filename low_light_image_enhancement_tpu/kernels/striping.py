@@ -13,8 +13,11 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 class StripePlan(NamedTuple):
@@ -62,6 +65,44 @@ def extract_stripes(xp: jnp.ndarray, plan: StripePlan) -> jnp.ndarray:
         for i in range(plan.n_stripes)
     ]
     return jnp.stack(stripes, axis=-3)
+
+
+def stripe_pallas_call(
+    kernel,
+    stripes: jnp.ndarray,
+    plan: StripePlan,
+    out_dtype,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Run a per-stripe kernel over (B, S, 3, THh, Wp) planar stripes.
+
+    One grid step per (image, stripe); the kernel reads a full halo'd stripe
+    block and writes the central (3, TH, Wp) block. Shared scaffolding for
+    every planar stripe kernel so grid/BlockSpec conventions live once.
+    """
+    b = stripes.shape[0]
+    thh = plan.stripe_rows + 2 * plan.margin
+    return pl.pallas_call(
+        kernel,
+        grid=(b, plan.n_stripes),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, 3, thh, plan.padded_w),
+                lambda i, j: (i, j, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, 3, plan.stripe_rows, plan.padded_w),
+            lambda i, j: (i, j, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, plan.n_stripes, 3, plan.stripe_rows, plan.padded_w),
+            out_dtype,
+        ),
+        interpret=interpret,
+    )(stripes)
 
 
 def merge_stripes(out: jnp.ndarray, plan: StripePlan) -> jnp.ndarray:

@@ -10,15 +10,13 @@ from __future__ import annotations
 
 import functools
 
-import jax
 import jax.numpy as jnp
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 from low_light_image_enhancement_tpu.kernels.striping import (
     StripePlan,
     extract_stripes,
     merge_stripes,
+    stripe_pallas_call,
 )
 from low_light_image_enhancement_tpu.kernels.fused_enhance import kroll2d
 from low_light_image_enhancement_tpu.ops.denoise import bilateral_core
@@ -40,8 +38,6 @@ def tiled_denoise(
 ) -> jnp.ndarray:
     """(B, 3, Hp, Wp) padded canvas -> (B, 3, S*TH, Wp) denoised rows
     [margin, margin + S*TH); caller crops columns."""
-    b = xp.shape[0]
-    thh = plan.stripe_rows + 2 * plan.margin
     stripes = jnp.transpose(extract_stripes(xp, plan), (0, 2, 1, 3, 4))
 
     kernel = functools.partial(
@@ -51,25 +47,6 @@ def tiled_denoise(
         margin=plan.margin,
         th=plan.stripe_rows,
     )
-    out = pl.pallas_call(
-        kernel,
-        grid=(b, plan.n_stripes),
-        in_specs=[
-            pl.BlockSpec(
-                (1, 1, 3, thh, plan.padded_w),
-                lambda i, j: (i, j, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            )
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 1, 3, plan.stripe_rows, plan.padded_w),
-            lambda i, j: (i, j, 0, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct(
-            (b, plan.n_stripes, 3, plan.stripe_rows, plan.padded_w),
-            jnp.float32,
-        ),
-        interpret=interpret,
-    )(stripes)
+    out = stripe_pallas_call(kernel, stripes, plan, jnp.float32,
+                             interpret=interpret)
     return merge_stripes(out, plan)

@@ -18,24 +18,10 @@ from typing import Dict
 
 import jax
 import jax.numpy as jnp
-from jax import lax
+
+from low_light_image_enhancement_tpu.models.layers import conv2d
 
 Params = Dict[str, Dict[str, jnp.ndarray]]
-
-_CONV_DN = ("NHWC", "HWIO", "NHWC")
-
-
-def _conv(x, w, b, compute_dtype):
-    # activations stay in compute_dtype end to end (uniform dtypes keep the
-    # conv VJP well-typed); the MXU accumulates bf16 products in f32 natively
-    y = lax.conv_general_dilated(
-        x.astype(compute_dtype),
-        w.astype(compute_dtype),
-        window_strides=(1, 1),
-        padding="SAME",
-        dimension_numbers=_CONV_DN,
-    )
-    return y + b.astype(compute_dtype)
 
 
 def init_curve_cnn(
@@ -74,7 +60,7 @@ def apply_curve_cnn(
     nhwc = jnp.transpose(x, (0, 2, 3, 1))  # (B, H, W, 3)
 
     def cv(name, h):
-        return _conv(h, params[name]["w"], params[name]["b"], compute_dtype)
+        return conv2d(h, params[name]["w"], params[name]["b"], compute_dtype)
 
     x1 = jax.nn.relu(cv("c1", nhwc))
     x2 = jax.nn.relu(cv("c2", x1))

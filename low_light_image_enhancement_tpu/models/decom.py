@@ -12,24 +12,10 @@ from typing import Dict
 
 import jax
 import jax.numpy as jnp
-from jax import lax
+
+from low_light_image_enhancement_tpu.models.layers import conv2d
 
 Params = Dict[str, Dict[str, jnp.ndarray]]
-
-_CONV_DN = ("NHWC", "HWIO", "NHWC")
-
-
-def _conv(x, w, b, compute_dtype):
-    # uniform compute_dtype keeps the conv VJP well-typed; MXU accumulates
-    # bf16 products in f32 natively
-    y = lax.conv_general_dilated(
-        x.astype(compute_dtype),
-        w.astype(compute_dtype),
-        window_strides=(1, 1),
-        padding="SAME",
-        dimension_numbers=_CONV_DN,
-    )
-    return y + b.astype(compute_dtype)
 
 
 def init_decom_net(key: jax.Array, features: int = 32) -> Params:
@@ -60,10 +46,10 @@ def apply_decom_net(
 
     h = nhwc
     for i in range(1, 5):
-        h = jax.nn.relu(_conv(h, params[f"c{i}"]["w"], params[f"c{i}"]["b"],
-                              compute_dtype))
-    out = jax.nn.sigmoid(_conv(h, params["c5"]["w"], params["c5"]["b"],
-                               compute_dtype)).astype(jnp.float32)
+        h = jax.nn.relu(conv2d(h, params[f"c{i}"]["w"], params[f"c{i}"]["b"],
+                               compute_dtype))
+    out = jax.nn.sigmoid(conv2d(h, params["c5"]["w"], params["c5"]["b"],
+                                compute_dtype)).astype(jnp.float32)
     out = jnp.transpose(out, (0, 3, 1, 2))  # (B, 4, H, W)
     r, l = out[:, :3], out[:, 3:4]
     return (r, l) if batched else (r[0], l[0])

@@ -15,25 +15,10 @@ from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
-from jax import lax
+
+from low_light_image_enhancement_tpu.models.layers import conv2d
 
 Params = Dict[str, Dict[str, jnp.ndarray]]
-
-_CONV_DN = ("NHWC", "HWIO", "NHWC")
-
-
-def _conv(x, w, b, dilation: int, compute_dtype):
-    # uniform compute_dtype keeps the conv VJP well-typed; MXU accumulates
-    # bf16 products in f32 natively
-    y = lax.conv_general_dilated(
-        x.astype(compute_dtype),
-        w.astype(compute_dtype),
-        window_strides=(1, 1),
-        padding="SAME",
-        rhs_dilation=(dilation, dilation),
-        dimension_numbers=_CONV_DN,
-    )
-    return y + b.astype(compute_dtype)
 
 
 def _dilations(depth: int) -> Tuple[int, ...]:
@@ -76,10 +61,10 @@ def apply_fcn(
     h = jnp.transpose(x, (0, 2, 3, 1))
     for i, dil in enumerate(dils, start=1):
         p = params[f"c{i}"]
-        h = jax.nn.leaky_relu(_conv(h, p["w"], p["b"], dil, compute_dtype),
+        h = jax.nn.leaky_relu(conv2d(h, p["w"], p["b"], compute_dtype, dilation=dil),
                               negative_slope=0.2)
     out = jax.nn.sigmoid(
-        _conv(h, params["out"]["w"], params["out"]["b"], 1, compute_dtype)
+        conv2d(h, params["out"]["w"], params["out"]["b"], compute_dtype)
     ).astype(jnp.float32)
     out = jnp.transpose(out, (0, 3, 1, 2))
     return out if batched else out[0]

@@ -80,9 +80,6 @@ def separable_blur(x, radius, sigma, shift_fn):
     return out
 
 
-_separable_blur = separable_blur  # backward-compat alias
-
-
 def gaussian_blur(
     x: jnp.ndarray, radius: int = 2, sigma: float = 1.0, mode: str = "clamp"
 ) -> jnp.ndarray:
@@ -93,4 +90,4 @@ def gaussian_blur(
                   fused kernel's roll-based blur on the interior.
     """
     shift_fn = shift2d if mode == "clamp" else roll2d
-    return _separable_blur(x, radius, sigma, shift_fn)
+    return separable_blur(x, radius, sigma, shift_fn)

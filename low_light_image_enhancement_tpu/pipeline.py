@@ -252,6 +252,12 @@ class EnhancePipeline:
         b, h, w, c = imgs_u8.shape
         if c != 3:
             raise ValueError(f"expected RGB (B,H,W,3), got {imgs_u8.shape}")
+        if imgs_u8.dtype != jnp.uint8:
+            raise TypeError(
+                f"expected uint8 input, got {imgs_u8.dtype}; for float "
+                "planar data use core.enhance_core_padded / "
+                "parallel.enhance_spatial_sharded"
+            )
         if self.config.spatial_shards > 1:
             return self._sharded(b, h, w)(imgs_u8)
         return self._compiled(b, h, w)(imgs_u8, self.model_params)

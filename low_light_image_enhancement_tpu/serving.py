@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from concurrent.futures import Future
 from typing import Dict, List, Optional, Tuple
 
@@ -101,12 +102,10 @@ class EnhanceServer:
             groups: Dict[Tuple[int, int], List] = {}
             groups.setdefault(self._key(first[0]), []).append(first)
             deadline = self._max_delay
-            import time as _time
-
-            t0 = _time.monotonic()
+            t0 = time.monotonic()
             n = 1
             while n < self._max_batch:
-                remaining = deadline - (_time.monotonic() - t0)
+                remaining = deadline - (time.monotonic() - t0)
                 if remaining <= 0:
                     break
                 try:

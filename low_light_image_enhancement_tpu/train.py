@@ -179,17 +179,19 @@ def _accumulated_grads(loss_fn, params, tcfg: TrainConfig, *batches):
     return metrics, grads
 
 
-def make_train_step(
-    tcfg: TrainConfig, mesh: Optional[Mesh] = None
+def _make_step(
+    loss_fn: Callable, n_batch_args: int, tcfg: TrainConfig,
+    mesh: Optional[Mesh],
 ) -> Callable:
-    """Returns jitted ``step(params, opt_state, batch) ->
-    (params, opt_state, metrics)``. With a mesh, the batch is sharded over
-    all mesh axes and params are replicated; XLA all-reduces gradients."""
+    """Generic jitted ``step(params, opt_state, *batch_args)`` for any
+    ``loss_fn(params, *batch_args, tcfg) -> (loss, metrics)``. With a mesh,
+    batch args are sharded over all mesh axes and params replicated; XLA
+    all-reduces gradients over ICI."""
     optimizer = make_optimizer(tcfg)
 
-    def step(params, opt_state, batch):
+    def step(params, opt_state, *batch_args):
         metrics, grads = _accumulated_grads(
-            zero_reference_loss, params, tcfg, batch
+            loss_fn, params, tcfg, *batch_args
         )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -197,14 +199,21 @@ def make_train_step(
 
     if mesh is None:
         return jax.jit(step)
-
     batch_sharding = NamedSharding(mesh, P(("data", "spatial")))
     replicated = NamedSharding(mesh, P())
     return jax.jit(
         step,
-        in_shardings=(replicated, replicated, batch_sharding),
+        in_shardings=(replicated, replicated)
+        + (batch_sharding,) * n_batch_args,
         out_shardings=(replicated, replicated, replicated),
     )
+
+
+def make_train_step(
+    tcfg: TrainConfig, mesh: Optional[Mesh] = None
+) -> Callable:
+    """Zero-reference step: ``step(params, opt_state, batch)``."""
+    return _make_step(zero_reference_loss, 1, tcfg, mesh)
 
 
 def init_train_state(
@@ -219,23 +228,37 @@ def init_train_state(
 
 # --------------------------------------------------------------------- loop #
 
-def train_curve_cnn(
-    tcfg: TrainConfig = TrainConfig(),
-    data_iter=None,
-    mesh: Optional[Mesh] = None,
-    checkpoint_dir: Optional[str] = None,
-    resume: bool = False,
-    log_fn: Optional[Callable[[Dict[str, float]], None]] = None,
-    seed: int = 0,
-):
-    """Config-3 training loop. ``data_iter`` yields (B, 3, H, W) f32 batches;
-    defaults to synthetic low-light crops. Returns (params, metrics_history).
-    """
-    import numpy as np
-
+def _synth_planar_pairs(tcfg: TrainConfig, seed: int, start_step: int):
+    """Infinite (low, high) planar f32 pair batches, offset by the restored
+    step so a resumed run continues the data stream instead of replaying."""
     from low_light_image_enhancement_tpu.data.synth import synth_batch
 
-    params, opt_state = init_train_state(tcfg, seed)
+    i = start_step * tcfg.batch_size
+    while True:
+        lows, highs = synth_batch(
+            tcfg.batch_size, tcfg.crop, tcfg.crop, seed=seed, start=i
+        )
+        i += tcfg.batch_size
+        to_planar = lambda a: jnp.transpose(
+            jnp.asarray(a, jnp.float32) / 255.0, (0, 3, 1, 2)
+        )
+        yield to_planar(lows), to_planar(highs)
+
+
+def _run_training_loop(
+    tcfg: TrainConfig,
+    params,
+    opt_state,
+    make_step_fn: Callable,
+    data_factory: Callable,
+    mesh: Optional[Mesh],
+    checkpoint_dir: Optional[str],
+    resume: bool,
+    log_fn: Optional[Callable[[Dict[str, float]], None]],
+):
+    """Shared trainer: checkpoint restore -> data stream (offset to the
+    restored step) -> step loop with logging + periodic/final checkpointing.
+    ``data_factory(start_step)`` yields tuples of step-fn batch args."""
     start_step = 0
     ckpt = None
     if checkpoint_dir is not None:
@@ -253,27 +276,15 @@ def train_curve_cnn(
                 opt_state = restored["opt_state"]
                 start_step = int(restored["step"])
 
-    if data_iter is None:
-        def _synth_iter():
-            # offset by the restored step so a resumed run continues the
-            # data stream instead of replaying batches it already trained on
-            i = start_step * tcfg.batch_size
-            while True:
-                lows, _ = synth_batch(
-                    tcfg.batch_size, tcfg.crop, tcfg.crop, seed=seed, start=i
-                )
-                i += tcfg.batch_size
-                yield jnp.transpose(
-                    jnp.asarray(lows, jnp.float32) / 255.0, (0, 3, 1, 2)
-                )
-        data_iter = _synth_iter()
-
-    step_fn = make_train_step(tcfg, mesh)
+    data_iter = data_factory(start_step)
+    step_fn = make_step_fn(tcfg, mesh)
     history = []
     t0 = time.time()
     for step_idx in range(start_step, tcfg.steps):
-        batch = next(data_iter)
-        params, opt_state, metrics = step_fn(params, opt_state, batch)
+        batch_args = next(data_iter)
+        if not isinstance(batch_args, tuple):
+            batch_args = (batch_args,)
+        params, opt_state, metrics = step_fn(params, opt_state, *batch_args)
         if (step_idx + 1) % tcfg.log_every == 0 or step_idx == start_step:
             m = {k: float(v) for k, v in metrics.items()}
             m["step"] = step_idx
@@ -299,6 +310,30 @@ def train_curve_cnn(
             )
         ckpt.wait()
     return params, history
+
+
+def train_curve_cnn(
+    tcfg: TrainConfig = TrainConfig(),
+    data_iter=None,
+    mesh: Optional[Mesh] = None,
+    checkpoint_dir: Optional[str] = None,
+    resume: bool = False,
+    log_fn: Optional[Callable[[Dict[str, float]], None]] = None,
+    seed: int = 0,
+):
+    """Config-3 training loop. ``data_iter`` yields (B, 3, H, W) f32 batches;
+    defaults to synthetic low-light crops. Returns (params, metrics_history).
+    """
+    params, opt_state = init_train_state(tcfg, seed)
+    factory = (
+        (lambda start: iter(data_iter)) if data_iter is not None
+        else (lambda start: (low for low, _ in
+                             _synth_planar_pairs(tcfg, seed, start)))
+    )
+    return _run_training_loop(
+        tcfg, params, opt_state, make_train_step, factory, mesh,
+        checkpoint_dir, resume, log_fn,
+    )
 
 
 # ------------------------------------------------- decomposition (decom) -- #
@@ -339,25 +374,8 @@ def decom_loss(
 def make_decom_train_step(
     tcfg: "TrainConfig", mesh: Optional[Mesh] = None
 ) -> Callable:
-    optimizer = make_optimizer(tcfg)
-
-    def step(params, opt_state, low, high):
-        metrics, grads = _accumulated_grads(
-            decom_loss, params, tcfg, low, high
-        )
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, metrics
-
-    if mesh is None:
-        return jax.jit(step)
-    batch_sharding = NamedSharding(mesh, P(("data", "spatial")))
-    replicated = NamedSharding(mesh, P())
-    return jax.jit(
-        step,
-        in_shardings=(replicated, replicated, batch_sharding, batch_sharding),
-        out_shardings=(replicated, replicated, replicated),
-    )
+    """Decomposition step: ``step(params, opt_state, low, high)``."""
+    return _make_step(decom_loss, 2, tcfg, mesh)
 
 
 # ----------------------------------------------------- supervised (FCN) --- #
@@ -385,27 +403,8 @@ def paired_loss(
 def make_supervised_train_step(
     tcfg: "TrainConfig", mesh: Optional[Mesh] = None
 ) -> Callable:
-    """jitted ``step(params, opt_state, low, high)`` for the FCN model; same
-    sharding scheme as the zero-reference step."""
-    optimizer = make_optimizer(tcfg)
-
-    def step(params, opt_state, low, high):
-        metrics, grads = _accumulated_grads(
-            paired_loss, params, tcfg, low, high
-        )
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, metrics
-
-    if mesh is None:
-        return jax.jit(step)
-    batch_sharding = NamedSharding(mesh, P(("data", "spatial")))
-    replicated = NamedSharding(mesh, P())
-    return jax.jit(
-        step,
-        in_shardings=(replicated, replicated, batch_sharding, batch_sharding),
-        out_shardings=(replicated, replicated, replicated),
-    )
+    """Supervised FCN step: ``step(params, opt_state, low, high)``."""
+    return _make_step(paired_loss, 2, tcfg, mesh)
 
 
 def train_fcn(
@@ -420,72 +419,15 @@ def train_fcn(
     """Supervised training loop for the FCN enhancer. ``data_iter`` yields
     (low, high) planar f32 batch pairs; defaults to synthetic LOL-like pairs.
     Returns (params, metrics_history)."""
-    from low_light_image_enhancement_tpu.data.synth import synth_batch
     from low_light_image_enhancement_tpu.models.fcn import init_fcn
-
-    import numpy as np  # noqa: F401  (kept local like the zero-ref loop)
 
     params = init_fcn(jax.random.PRNGKey(seed), features=tcfg.features)
     opt_state = make_optimizer(tcfg).init(params)
-    start_step = 0
-    ckpt = None
-    if checkpoint_dir is not None:
-        from low_light_image_enhancement_tpu.utils.checkpoint import (
-            CheckpointManager,
-        )
-
-        ckpt = CheckpointManager(checkpoint_dir)
-        if resume:
-            restored = ckpt.restore_latest(
-                {"params": params, "opt_state": opt_state, "step": 0}
-            )
-            if restored is not None:
-                params = restored["params"]
-                opt_state = restored["opt_state"]
-                start_step = int(restored["step"])
-
-    if data_iter is None:
-        def _synth_pairs():
-            i = start_step * tcfg.batch_size  # continue the stream on resume
-            while True:
-                lows, highs = synth_batch(
-                    tcfg.batch_size, tcfg.crop, tcfg.crop, seed=seed, start=i
-                )
-                i += tcfg.batch_size
-                to_planar = lambda a: jnp.transpose(
-                    jnp.asarray(a, jnp.float32) / 255.0, (0, 3, 1, 2)
-                )
-                yield to_planar(lows), to_planar(highs)
-        data_iter = _synth_pairs()
-
-    step_fn = make_supervised_train_step(tcfg, mesh)
-    history = []
-    t0 = time.time()
-    for step_idx in range(start_step, tcfg.steps):
-        low, high = next(data_iter)
-        params, opt_state, metrics = step_fn(params, opt_state, low, high)
-        if (step_idx + 1) % tcfg.log_every == 0 or step_idx == start_step:
-            m = {k: float(v) for k, v in metrics.items()}
-            m["step"] = step_idx
-            m["imgs_per_sec"] = (
-                tcfg.batch_size * (step_idx + 1 - start_step)
-                / max(time.time() - t0, 1e-9)
-            )
-            history.append(m)
-            if log_fn is not None:
-                log_fn(m)
-        if ckpt is not None and (step_idx + 1) % tcfg.checkpoint_every == 0:
-            ckpt.save(
-                {"params": params, "opt_state": opt_state,
-                 "step": step_idx + 1},
-                step=step_idx + 1,
-            )
-    if ckpt is not None:
-        if tcfg.steps > start_step and ckpt.latest_step() != tcfg.steps:
-            ckpt.save(
-                {"params": params, "opt_state": opt_state,
-                 "step": tcfg.steps},
-                step=tcfg.steps,
-            )
-        ckpt.wait()
-    return params, history
+    factory = (
+        (lambda start: iter(data_iter)) if data_iter is not None
+        else (lambda start: _synth_planar_pairs(tcfg, seed, start))
+    )
+    return _run_training_loop(
+        tcfg, params, opt_state, make_supervised_train_step, factory, mesh,
+        checkpoint_dir, resume, log_fn,
+    )

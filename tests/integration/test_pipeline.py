@@ -102,6 +102,14 @@ def test_jit_cache_one_entry_per_shape():
     assert len(pipe._cache) == 2
 
 
+def test_float_input_rejected_with_clear_error():
+    import pytest
+
+    pipe = EnhancePipeline()
+    with pytest.raises(TypeError, match="uint8"):
+        pipe.enhance_batch_device(jnp.zeros((1, 16, 16, 3), jnp.float32))
+
+
 def test_warmup_precompiles():
     pipe = EnhancePipeline(bucket=64)
     pipe.warmup([(1, 40, 60), (2, 100, 60)])
