@@ -65,7 +65,14 @@ def cmd_eval(args) -> int:
 
 
 def cmd_bench(args) -> int:
-    import bench as bench_mod  # repo-root bench.py when run from checkout
+    try:
+        import bench as bench_mod  # repo-root bench.py when run from checkout
+    except ImportError:  # installed package: resolve relative to the repo
+        import sys as _sys
+        from pathlib import Path
+
+        _sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+        import bench as bench_mod
 
     res = bench_mod.bench_throughput(batch=args.batch, repeats=args.repeats)
     print(json.dumps(res))
