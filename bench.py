@@ -62,7 +62,12 @@ def bench_throughput(
     dev = jnp.asarray(lows)
 
     step = pipe.enhance_batch_device
-    _sync(step(dev))  # compile + warmup
+    _sync(step(dev))  # compile
+    # Steady-state warmup: run (and discard) one full short+long chain pair.
+    # The very first timed chains of a session are otherwise a large outlier
+    # (tunnel session setup / allocator warmup — BENCH_r01 rates[0] was 4x).
+    _time_chain(step, dev, n_short)
+    _time_chain(step, dev, n_long)
 
     rates = []
     for _ in range(repeats):
@@ -74,6 +79,8 @@ def bench_throughput(
     value = float(np.median(rates))
     return {
         "images_per_sec": value,
+        "rate_min": float(np.min(rates)),
+        "rate_max": float(np.max(rates)),
         "batch": batch,
         "backend": jax.default_backend(),
         "rates": [round(r, 1) for r in rates],
@@ -95,6 +102,9 @@ def main() -> None:
                 "value": round(value, 2),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(value / 1000.0, 4),
+                "min": round(res["rate_min"], 2),
+                "max": round(res["rate_max"], 2),
+                "n_repeats": len(res["rates"]),
             }
         )
     )

@@ -30,6 +30,10 @@ def _enhance_with_retry(pipeline, lows, retries: int = 1):
     for attempt in range(retries + 1):
         try:
             return pipeline.enhance_batch(lows)
+        except (ValueError, TypeError):
+            # Deterministic input/shape bugs: retrying is pointless and
+            # skipping would mask a real regression — fail loudly.
+            raise
         except Exception as e:  # device/runtime error: retry, then skip
             _LOG.warning(
                 "enhance batch failed (attempt %d/%d): %s",
@@ -76,12 +80,19 @@ def eval_lol(
         psnrs.extend(np.asarray(psnr_u8(out, highs)).tolist())
         ssims.extend(np.asarray(ssim_u8(out, highs)).tolist())
         if ref_pipe is not None:
-            ref = ref_pipe.enhance_batch(lows)
-            ref_psnrs.extend(np.asarray(psnr_u8(ref, highs)).tolist())
-            parity_max = max(
-                parity_max,
-                int(np.abs(out.astype(np.int32) - ref.astype(np.int32)).max()),
-            )
+            # Same failure tolerance as the main path: a transient error on
+            # the reference run skips parity for this batch, not the eval.
+            ref = _enhance_with_retry(ref_pipe, lows)
+            if ref is None:
+                _LOG.warning("reference path failed; skipping parity batch")
+            else:
+                ref_psnrs.extend(np.asarray(psnr_u8(ref, highs)).tolist())
+                parity_max = max(
+                    parity_max,
+                    int(np.abs(
+                        out.astype(np.int32) - ref.astype(np.int32)
+                    ).max()),
+                )
 
     if not psnrs:
         raise RuntimeError(

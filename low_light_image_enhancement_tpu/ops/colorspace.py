@@ -23,8 +23,8 @@ def normalize_u8(x_u8: jnp.ndarray) -> jnp.ndarray:
 
 
 def quantize_u8(x: jnp.ndarray) -> jnp.ndarray:
-    """float [0,1] -> uint8 with round-half-away (matches np.rint on .5 ties
-    closely enough for images; we use round-to-nearest-even via jnp.round)."""
+    """float [0,1] -> uint8 with round-half-to-even (banker's rounding):
+    jnp.round == np.rint semantics, so .5 ties go to the even integer."""
     return jnp.clip(jnp.round(x * 255.0), 0.0, 255.0).astype(jnp.uint8)
 
 

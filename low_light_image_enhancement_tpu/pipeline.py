@@ -245,7 +245,9 @@ class EnhancePipeline:
                 g = self.bucket
                 h, w = -(-h // g) * g, -(-w // g) * g
             dummy = jnp.zeros((b, h, w, 3), jnp.uint8)
-            self._compiled(b, h, w)(dummy, self.model_params)
+            # Route through the real dispatch so the sharded jit (config 5)
+            # is the one pre-compiled when spatial_shards > 1.
+            self.enhance_batch_device(dummy)
 
     def enhance_batch_device(self, imgs_u8) -> jnp.ndarray:
         """(B, H, W, 3) u8 -> enhanced u8, left on device (no host sync)."""

@@ -71,7 +71,10 @@ class EnhanceServer:
     def close(self) -> None:
         with self._submit_lock:
             self._stop.set()
-        self._thread.join(timeout=10.0)
+        # Join without a timeout: a first-request XLA compile inside
+        # _run_group can exceed any fixed bound, and draining the queue while
+        # the dispatcher still runs would double-resolve its futures.
+        self._thread.join()
         # fail any stragglers
         try:
             while True:
@@ -133,7 +136,8 @@ class EnhanceServer:
             )
             for (img, fut), res in zip(items, out):
                 h, w, _ = img.shape
-                fut.set_result(res[:h, :w])
+                if not fut.done():
+                    fut.set_result(res[:h, :w])
         except Exception as e:
             for _, fut in items:
                 if not fut.done():
