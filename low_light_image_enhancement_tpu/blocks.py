@@ -1,0 +1,234 @@
+"""Block-form learned-method graph: one semantics for single-device & sharded.
+
+The learned methods (curve / hybrid / fcn / decom) run on a *row block*: the
+image rows a device owns plus ``learned_halo(cfg)`` replicate-or-neighbor rows
+on each side. The same function — ``enhance_learned_block`` — is the
+single-device pipeline body (halo rows come from ``jnp.pad(mode='edge')``) and
+the shard_map per-device body (halo rows arrive over ICI via
+``parallel.halo.halo_pad_local``), so spatially-sharded output matches
+single-device output *by construction*: the only inputs that differ are the
+halo rows, and the halo exchange reproduces exactly the rows edge-padding
+would produce (BASELINE.json config 5; SURVEY.md §5 long-context row).
+
+Boundary semantics (canonical, alignment-independent): the net consumes the
+image extended by ``MARGIN`` replicate rows/cols on each side and *zeros
+beyond* — every value a consumed output can reach is either real data, one of
+those MARGIN replicas, or a defined zero. Conv SAME zero-padding at the block
+edge coincides with the mask, so block height/width alignment padding can
+never leak into the output (SURVEY.md §7 hard part (a): the 0.1 dB budget
+dies in padding edges).
+
+The denoise tail runs as the fused Pallas stripe kernel when requested
+(``kernels.tiled_denoise``) or the pure-jnp bilateral otherwise, bit-identical
+either way.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from low_light_image_enhancement_tpu.config import MARGIN, PipelineConfig
+from low_light_image_enhancement_tpu.core import illumination_boost
+from low_light_image_enhancement_tpu.ops.curves import apply_curves
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def cnn_radius(cfg: PipelineConfig) -> int:
+    """Receptive-field radius (pixels at full resolution) of the learned net
+    selected by ``cfg.method``; 0 for methods with no net."""
+    if cfg.method in ("curve", "hybrid"):
+        ds = cfg.curve_downsample
+        # 7 stacked 3x3 convs -> radius 7 at CNN resolution. With the CNN at
+        # 1/ds resolution: 7*ds for the convs, plus ~ds each for the
+        # antialiased bilinear down/up resample supports.
+        return 7 if ds == 1 else 9 * ds
+    if cfg.method == "fcn":
+        from low_light_image_enhancement_tpu.models.fcn import _dilations
+
+        return sum(_dilations(7))  # 3x3 convs: radius = sum of dilations
+    if cfg.method == "decom":
+        return 5  # five 3x3 convs
+    return 0
+
+
+def learned_halo(cfg: PipelineConfig) -> int:
+    """Replicate/ICI halo rows per side for the block graph: the full
+    receptive radius of everything between block input and consumed output,
+    hardware-rounded (sublane multiple of 8; multiple of curve_downsample so
+    shard-local resample grids coincide with the single-device grid)."""
+    r = cnn_radius(cfg)
+    if cfg.method == "hybrid":
+        r += cfg.blur_radius  # boost runs before the CNN sees the block
+    if cfg.denoise_strength > 0.0:
+        r += 1  # 3x3 bilateral tail
+    granule = 8 * cfg.curve_downsample if cfg.method in ("curve", "hybrid") \
+        else 8
+    return _round_up(max(r, MARGIN), granule)
+
+
+def _mask_extent(
+    y: jnp.ndarray, row0, h: int, w: int
+) -> jnp.ndarray:
+    """Zero everything outside the image extended by MARGIN replicate
+    rows/cols. Block row l <-> image row row0 + l (row0 may be traced:
+    shard_map passes axis_index * rows_per_shard - halo); block col c <->
+    image col c - MARGIN."""
+    hb, wb = y.shape[-2], y.shape[-1]
+    g = row0 + jax.lax.broadcasted_iota(jnp.int32, (hb, 1), 0)
+    row_ok = (g >= -MARGIN) & (g < h + MARGIN)
+    col_ok = jax.lax.broadcasted_iota(jnp.int32, (1, wb), 1) < w + 2 * MARGIN
+    return jnp.where(row_ok & col_ok, y, 0.0)
+
+
+def _curve_maps(
+    cnn_in: jnp.ndarray, cfg: PipelineConfig, params: Dict[str, Any]
+) -> jnp.ndarray:
+    """Estimate LE-curve maps on the (masked) block, at 1/ds resolution when
+    curve_downsample > 1 (near-lossless FLOP cut: the maps are smooth by the
+    TV training loss)."""
+    from low_light_image_enhancement_tpu.models.curve_cnn import (
+        apply_curve_cnn,
+    )
+
+    ds = cfg.curve_downsample
+    if ds > 1:
+        b_, c_, hb, wb = cnn_in.shape
+        if hb % ds or wb % ds:
+            raise ValueError(
+                f"block {hb}x{wb} not divisible by curve_downsample={ds}"
+            )
+        cnn_in = jax.image.resize(
+            cnn_in, (b_, c_, hb // ds, wb // ds), method="bilinear"
+        )
+    maps = apply_curve_cnn(
+        params, cnn_in, n_iter=cfg.curve_iters,
+        compute_dtype=jnp.dtype(cfg.compute_dtype),
+    )
+    if ds > 1:
+        b_, it_, c_, hl_, wl_ = maps.shape
+        maps = jax.image.resize(
+            maps, (b_, it_, c_, hl_ * ds, wl_ * ds), method="bilinear"
+        )
+    return maps
+
+
+def enhance_learned_block(
+    xb: jnp.ndarray,
+    cfg: PipelineConfig,
+    model_params: Optional[Dict[str, Any]],
+    row0,
+    h: int,
+    w: int,
+    use_pallas: bool = False,
+    interpret: bool = False,
+    pre_boosted: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Learned-method enhance on one halo'd row block.
+
+    Args:
+      xb: (B, 3, HB, WB) f32 block in [0, 1]; HB = owned rows + 2 *
+        ``learned_halo(cfg)``; WB a multiple of 128 with MARGIN replicate cols
+        before the image's col 0. Halo rows are neighbor rows (sharded) or
+        edge replicas (single device / global edges) — same values either way.
+      row0: image-row index of block row 0 (may be a traced scalar).
+      h, w: true image extent, for the zero-mask beyond MARGIN.
+      pre_boosted: (hybrid only) an externally computed illumination-boosted
+        block — e.g. the temporally-EMA'd boost of ``video.video_step`` —
+        used in place of the internal ``illumination_boost``.
+
+    Returns (B, 3, HB - 2*halo, WB): enhanced owned rows, cols uncropped.
+    """
+    halo = learned_halo(cfg)
+    rows = xb.shape[-2] - 2 * halo
+    y = xb
+
+    if cfg.method == "hybrid":
+        # Boost first (Zero-DCE-on-boosted convention). Roll-wrap corruption
+        # depth blur_radius at block edges stays >= cnn_radius+1 away from
+        # any consumed output by the halo sizing, and lands in the masked
+        # zone, so it can never reach the CNN or the output.
+        y = pre_boosted if pre_boosted is not None \
+            else illumination_boost(y, cfg)
+
+    cnn_in = _mask_extent(y if cfg.method == "hybrid" else xb, row0, h, w)
+
+    if cfg.method in ("curve", "hybrid"):
+        y = jnp.clip(apply_curves(y, _curve_maps(cnn_in, cfg, model_params)),
+                     0.0, 1.0)
+    elif cfg.method == "fcn":
+        from low_light_image_enhancement_tpu.models.fcn import apply_fcn
+
+        y = jnp.clip(
+            apply_fcn(model_params, cnn_in,
+                      compute_dtype=jnp.dtype(cfg.compute_dtype)),
+            0.0, 1.0,
+        )
+    elif cfg.method == "decom":
+        from low_light_image_enhancement_tpu.models.decom import (
+            apply_decom_net,
+        )
+
+        r, l = apply_decom_net(
+            model_params, cnn_in, compute_dtype=jnp.dtype(cfg.compute_dtype)
+        )
+        l_boost = jnp.clip(l, cfg.illum_eps, 1.0) ** cfg.gamma
+        y = jnp.clip(r * l_boost, 0.0, 1.0)
+    else:
+        raise ValueError(
+            f"enhance_learned_block: method {cfg.method!r} is not a learned "
+            "method (retinex has its own fused path)"
+        )
+
+    if cfg.denoise_strength <= 0.0:
+        return y[..., halo : halo + rows, :]
+
+    if use_pallas:
+        from low_light_image_enhancement_tpu.kernels.striping import (
+            plan_stripes,
+        )
+        from low_light_image_enhancement_tpu.kernels.tiled_denoise import (
+            tiled_denoise,
+        )
+
+        wb = xb.shape[-1]
+        plan = plan_stripes(rows, wb - 2 * MARGIN, MARGIN, cfg.stripe_rows)
+        sub = y[..., halo - MARGIN : halo + rows + MARGIN, :]
+        extra = plan.padded_h - (rows + 2 * MARGIN)
+        if extra:
+            sub = jnp.pad(sub, ((0, 0),) * (sub.ndim - 2)
+                          + ((0, extra), (0, 0)), mode="edge")
+        return tiled_denoise(sub, cfg.denoise_sigma, cfg.denoise_strength,
+                             plan, interpret=interpret)[..., :rows, :]
+
+    from low_light_image_enhancement_tpu.ops.denoise import bilateral_core
+    from low_light_image_enhancement_tpu.ops.filters import roll2d
+
+    inv2s2 = 1.0 / (2.0 * cfg.denoise_sigma * cfg.denoise_sigma)
+    y = bilateral_core(y, inv2s2, cfg.denoise_strength, roll2d)
+    return jnp.clip(y, 0.0, 1.0)[..., halo : halo + rows, :]
+
+
+def block_geometry(cfg: PipelineConfig, h: int, w: int, n_shards: int = 1):
+    """(rows_per_shard, padded_w) for the block graph: rows rounded so every
+    shard owns the same sublane- and resample-aligned row count; width padded
+    to lanes with MARGIN cols before the image origin."""
+    halo = learned_halo(cfg)
+    granule = 8
+    if cfg.method in ("curve", "hybrid"):
+        granule = 8 * cfg.curve_downsample
+    hl = _round_up(int(math.ceil(h / n_shards)), granule)
+    if n_shards > 1 and hl < halo:
+        raise ValueError(
+            f"{n_shards} spatial shards of a {h}-row image give {hl} "
+            f"rows/shard, below the {halo}-row receptive-field halo of "
+            f"method={cfg.method!r}; use fewer shards or larger frames"
+        )
+    wp = _round_up(w + 2 * MARGIN, 128)
+    return hl, wp

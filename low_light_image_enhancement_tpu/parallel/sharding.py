@@ -67,23 +67,31 @@ def enhance_spatial_sharded(
     x: jnp.ndarray,
     cfg: PipelineConfig,
     mesh: Mesh,
+    model_params=None,
     use_pallas: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Spatially-sharded retinex enhance (config 5: per-shard denoise).
+    """Spatially-sharded enhance (config 5: per-shard denoise), any method.
 
     Args:
-      x: (B, 3, H, W) planar batch — float32 in [0, 1], or uint8 (the fast
-        path: halos exchange u8 rows over ICI at 1/4 the bytes and each
-        shard runs the fused u8 kernel; requires ``use_pallas=True``).
+      x: (B, 3, H, W) planar batch — float32 in [0, 1], or uint8 (for
+        retinex this is the fast path: halos exchange u8 rows over ICI at
+        1/4 the bytes and each shard runs the fused u8 kernel, requiring
+        ``use_pallas=True``; learned methods convert at the boundary).
       mesh: mesh with a "spatial" axis; rows shard across it, batch across
-        "data". Output is bit-identical to the single-device padded-canvas
-        path (halo exchange reproduces the same neighbor/edge rows).
+        "data". Output is bit-identical to the single-device path: for
+        retinex the halo exchange reproduces the padded-canvas rows, for
+        learned methods each shard runs the same ``enhance_learned_block``
+        the pipeline runs, with halo = the net's receptive field
+        (``blocks.learned_halo``).
+      model_params: weights for the learned methods (ignored for retinex).
 
     Returns (B, 3, H, W) enhanced, same dtype as the input.
     """
     if cfg.method != "retinex":
-        raise NotImplementedError("sharded path supports method='retinex'")
+        return _enhance_learned_sharded(
+            x, cfg, mesh, model_params, use_pallas, interpret
+        )
     if x.dtype == jnp.uint8 and not use_pallas:
         raise ValueError("uint8 sharded path requires use_pallas=True")
     n_sp = mesh.shape["spatial"]
@@ -121,3 +129,60 @@ def enhance_spatial_sharded(
     )
     out_core = sharded(xc)
     return out_core[..., :h, m : m + w]
+
+
+def _enhance_learned_sharded(
+    x: jnp.ndarray,
+    cfg: PipelineConfig,
+    mesh: Mesh,
+    model_params,
+    use_pallas: bool,
+    interpret: bool,
+) -> jnp.ndarray:
+    """Spatial sharding of the learned methods: per-shard
+    ``blocks.enhance_learned_block`` with ppermute halos sized to the net's
+    receptive field (curve CNN radius 7; fcn dilation stack radius 64 —
+    VERDICT r1 item 2). Bit-parity with the single-device pipeline holds by
+    construction: both run the identical block function, and
+    ``halo_pad_local`` reproduces exactly the rows the pipeline's edge
+    padding produces."""
+    from low_light_image_enhancement_tpu.blocks import (
+        block_geometry,
+        enhance_learned_block,
+        learned_halo,
+    )
+    from low_light_image_enhancement_tpu.ops.colorspace import (
+        normalize_u8,
+        quantize_u8,
+    )
+
+    u8_io = x.dtype == jnp.uint8
+    if u8_io:
+        x = normalize_u8(x)
+    n_sp = mesh.shape["spatial"]
+    b, c, h, w = x.shape
+    m = MARGIN
+    halo = learned_halo(cfg)
+    hl, wp = block_geometry(cfg, h, w, n_shards=n_sp)
+    h_core = n_sp * hl
+    xc = jnp.pad(
+        x, ((0, 0), (0, 0), (0, h_core - h), (m, wp - w - m)), mode="edge"
+    )
+
+    def local_fn(xl, params):  # (B/nd, 3, hl, wp) per device
+        xb = halo_pad_local(xl, halo, "spatial")
+        row0 = jax.lax.axis_index("spatial") * hl - halo
+        return enhance_learned_block(
+            xb, cfg, params, row0, h, w,
+            use_pallas=use_pallas, interpret=interpret,
+        )
+
+    sharded = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P("data", None, "spatial", None), P()),
+        out_specs=P("data", None, "spatial", None),
+        check_vma=False,
+    )
+    out = sharded(xc, model_params)[..., :h, m : m + w]
+    return quantize_u8(out) if u8_io else out

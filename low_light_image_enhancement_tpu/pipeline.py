@@ -22,12 +22,7 @@ from low_light_image_enhancement_tpu.kernels.striping import (
     StripePlan,
     plan_stripes,
 )
-from low_light_image_enhancement_tpu.kernels.tiled_denoise import tiled_denoise
-from low_light_image_enhancement_tpu.models.curve_cnn import (
-    apply_curve_cnn,
-    init_curve_cnn,
-)
-from low_light_image_enhancement_tpu.ops.curves import apply_curves
+from low_light_image_enhancement_tpu.models.curve_cnn import init_curve_cnn
 from low_light_image_enhancement_tpu.ops.colorspace import (
     normalize_u8,
     quantize_u8,
@@ -58,81 +53,51 @@ def _enhance_u8_batch(
     _, h, w, _ = imgs_u8.shape
     m = plan.margin
 
-    if use_pallas and cfg.method == "retinex":
-        # u8 end-to-end fast path: pad/stripe in u8, normalize + quantize
-        # inside the fused kernel -> ~5x less HBM traffic than f32 staging.
-        xpu = pad_planar(jnp.transpose(imgs_u8, (0, 3, 1, 2)), plan, h, w)
-        canvas = fused_retinex(xpu, cfg, plan, interpret=pallas_interpret)
-        return jnp.transpose(canvas[:, :, :h, m : m + w], (0, 2, 3, 1))
-
-    x = jnp.transpose(normalize_u8(imgs_u8), (0, 3, 1, 2))  # planar f32
-    xp = pad_planar(x, plan, h, w)
-
-    if cfg.method == "fcn":
-        from low_light_image_enhancement_tpu.models.fcn import apply_fcn
-
-        yp = jnp.clip(
-            apply_fcn(model_params, xp,
-                      compute_dtype=jnp.dtype(cfg.compute_dtype)),
-            0.0, 1.0,
-        )
-    elif cfg.method == "decom":
-        # learned Retinex decomposition (RetinexNet-style): relight the
-        # learned reflectance with a gamma-brightened learned illumination
-        from low_light_image_enhancement_tpu.models.decom import (
-            apply_decom_net,
-        )
-
-        r, l = apply_decom_net(
-            model_params, xp, compute_dtype=jnp.dtype(cfg.compute_dtype)
-        )
-        l_boost = jnp.clip(l, cfg.illum_eps, 1.0) ** cfg.gamma
-        yp = jnp.clip(r * l_boost, 0.0, 1.0)
-    else:
-        yp = xp
-        if cfg.method in ("retinex", "hybrid"):
-            yp = illumination_boost(yp, cfg)
-        if cfg.method in ("curve", "hybrid"):
-            # Zero-DCE convention: curves are estimated from the image they
-            # adjust (the raw input for "curve", the boosted image for
-            # "hybrid"). With curve_downsample > 1 the CNN runs at reduced
-            # resolution and the (smooth) maps are bilinearly upsampled — a
-            # near-lossless ~N^2 FLOP cut on the conv stack.
-            ds = cfg.curve_downsample
-            cnn_in = yp
-            if ds > 1:
-                b_, c_, hp_, wp_ = yp.shape
-                cnn_in = jax.image.resize(
-                    yp, (b_, c_, hp_ // ds, wp_ // ds), method="bilinear"
-                )
-            curve_maps = apply_curve_cnn(
-                model_params, cnn_in, n_iter=cfg.curve_iters,
-                compute_dtype=jnp.dtype(cfg.compute_dtype),
-            )
-            if ds > 1:
-                b_, c_, hp_, wp_ = yp.shape
-                curve_maps = jax.image.resize(
-                    curve_maps,
-                    (b_, cfg.curve_iters, 3, hp_, wp_),
-                    method="bilinear",
-                )
-            yp = jnp.clip(apply_curves(yp, curve_maps), 0.0, 1.0)
-
-    # shared fused-denoise tail
-    if cfg.denoise_strength > 0.0:
+    if cfg.method == "retinex":
         if use_pallas:
-            canvas = tiled_denoise(
-                yp, cfg.denoise_sigma, cfg.denoise_strength, plan,
-                interpret=pallas_interpret,
-            )
-            y = canvas[:, :, :h, m : m + w]
-            return jnp.transpose(quantize_u8(y), (0, 2, 3, 1))
-        from low_light_image_enhancement_tpu.ops.denoise import bilateral_core
-        from low_light_image_enhancement_tpu.ops.filters import roll2d
+            # u8 end-to-end fast path: pad/stripe in u8, normalize + quantize
+            # inside the fused kernel -> ~5x less HBM traffic than f32
+            # staging.
+            xpu = pad_planar(jnp.transpose(imgs_u8, (0, 3, 1, 2)), plan, h, w)
+            canvas = fused_retinex(xpu, cfg, plan, interpret=pallas_interpret)
+            return jnp.transpose(canvas[:, :, :h, m : m + w], (0, 2, 3, 1))
 
-        inv2s2 = 1.0 / (2.0 * cfg.denoise_sigma * cfg.denoise_sigma)
-        yp = bilateral_core(yp, inv2s2, cfg.denoise_strength, roll2d)
-    y = jnp.clip(yp, 0.0, 1.0)[:, :, m : m + h, m : m + w]
+        x = jnp.transpose(normalize_u8(imgs_u8), (0, 3, 1, 2))  # planar f32
+        xp = pad_planar(x, plan, h, w)
+        yp = illumination_boost(xp, cfg)
+        if cfg.denoise_strength > 0.0:
+            from low_light_image_enhancement_tpu.ops.denoise import (
+                bilateral_core,
+            )
+            from low_light_image_enhancement_tpu.ops.filters import roll2d
+
+            inv2s2 = 1.0 / (2.0 * cfg.denoise_sigma * cfg.denoise_sigma)
+            yp = bilateral_core(yp, inv2s2, cfg.denoise_strength, roll2d)
+        y = jnp.clip(yp, 0.0, 1.0)[:, :, m : m + h, m : m + w]
+        return jnp.transpose(quantize_u8(y), (0, 2, 3, 1))
+
+    # Learned methods (curve / hybrid / fcn / decom): the block graph of
+    # blocks.enhance_learned_block — the same function the spatially-sharded
+    # path runs per shard, so config-5 output matches this bit-for-bit.
+    from low_light_image_enhancement_tpu.blocks import (
+        block_geometry,
+        enhance_learned_block,
+        learned_halo,
+    )
+
+    halo = learned_halo(cfg)
+    h_core, wp = block_geometry(cfg, h, w)
+    x = jnp.transpose(normalize_u8(imgs_u8), (0, 3, 1, 2))  # planar f32
+    xb = jnp.pad(
+        x,
+        ((0, 0), (0, 0), (halo, halo + h_core - h), (m, wp - w - m)),
+        mode="edge",
+    )
+    yb = enhance_learned_block(
+        xb, cfg, model_params, row0=-halo, h=h, w=w,
+        use_pallas=use_pallas, interpret=pallas_interpret,
+    )
+    y = yb[..., :h, m : m + w]
     return jnp.transpose(quantize_u8(y), (0, 2, 3, 1))
 
 
@@ -281,16 +246,25 @@ class EnhancePipeline:
             cfg = self.config
             use_pallas = self._use_pallas
             interp = self._pallas_interpret
+            params = self.model_params
 
             def run(imgs_u8):
                 x = jnp.transpose(imgs_u8, (0, 3, 1, 2))
-                if not use_pallas:
-                    x = normalize_u8(x)
-                y = enhance_spatial_sharded(
-                    x, cfg, mesh, use_pallas=use_pallas, interpret=interp
-                )
-                if not use_pallas:
-                    y = quantize_u8(y)
+                if cfg.method == "retinex" and not use_pallas:
+                    # f32 retinex canvas path: convert at this boundary (the
+                    # u8 fast path and the learned block path convert
+                    # internally).
+                    y = quantize_u8(
+                        enhance_spatial_sharded(
+                            normalize_u8(x), cfg, mesh,
+                            use_pallas=use_pallas, interpret=interp,
+                        )
+                    )
+                else:
+                    y = enhance_spatial_sharded(
+                        x, cfg, mesh, model_params=params,
+                        use_pallas=use_pallas, interpret=interp,
+                    )
                 return jnp.transpose(y, (0, 2, 3, 1))
 
             fn = jax.jit(run)

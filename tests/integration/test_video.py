@@ -62,6 +62,28 @@ def test_reset_and_size_guard():
         ve.process(np.zeros((8, 8, 3), np.uint8))
 
 
-def test_non_retinex_rejected():
-    with pytest.raises(NotImplementedError):
-        VideoEnhancer(PipelineConfig(method="curve"))
+@pytest.mark.parametrize("method", ["hybrid", "curve"])
+def test_learned_video_alpha_one_matches_stateless(method):
+    """At alpha=1 (no smoothing) the learned video paths reduce to the
+    stateless pipeline (same block graph, up to fp-associativity ties)."""
+    frames = _flickering_video(2)
+    cfg = PipelineConfig(method=method)
+    ve = VideoEnhancer(cfg, alpha=1.0)
+    pipe = EnhancePipeline(cfg, force_jnp=True,
+                           model_params=ve.model_params)
+    for f in frames:
+        d = np.abs(ve.process(f).astype(int) - pipe.enhance(f).astype(int))
+        assert d.max() <= 1
+
+
+def test_curve_video_constant_is_stable():
+    frame = _flickering_video(1)[0]
+    ve = VideoEnhancer(PipelineConfig(method="curve"), alpha=0.3)
+    outs = [ve.process(frame) for _ in range(5)]
+    np.testing.assert_array_equal(outs[-1], outs[-2])
+
+
+def test_methods_without_temporal_carry_rejected():
+    for method in ("fcn", "decom"):
+        with pytest.raises(ValueError, match="enhance_stream"):
+            VideoEnhancer(PipelineConfig(method=method))

@@ -1,0 +1,61 @@
+"""Structural data-parallel guarantees on the 8-fake-device mesh
+(VERDICT r1 item 7): what actually transfers to a v5e slice is that the
+batch is evenly sharded across every device and the compiled step contains
+no resharding collectives — batch DP must be embarrassingly parallel."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from low_light_image_enhancement_tpu.config import MARGIN, PipelineConfig
+from low_light_image_enhancement_tpu.data.synth import synth_batch
+from low_light_image_enhancement_tpu.kernels.striping import plan_stripes
+from low_light_image_enhancement_tpu.parallel import make_mesh, shard_batch_fn
+from low_light_image_enhancement_tpu.pipeline import _enhance_u8_batch
+
+
+def _jnp_enhance(h, w):
+    cfg = PipelineConfig()
+    plan = plan_stripes(h, w, MARGIN, cfg.stripe_rows)
+    return functools.partial(
+        _enhance_u8_batch, cfg=cfg, plan=plan,
+        use_pallas=False, pallas_interpret=False,
+    )
+
+
+def test_dp_batch_sharded_on_all_devices_and_collective_free():
+    h, w = 48, 64
+    mesh = make_mesh(n_data=8, n_spatial=1)
+    fn = _jnp_enhance(h, w)
+    lows, _ = synth_batch(8, h, w)
+    x = jax.device_put(jnp.asarray(lows), NamedSharding(mesh, P("data")))
+
+    lowered = jax.jit(lambda v: fn(v, None)).lower(x)
+    compiled = lowered.compile()
+    hlo = compiled.as_text()
+    for coll in ("all-gather", "all-reduce", "collective-permute",
+                 "all-to-all"):
+        assert coll not in hlo, f"batch-DP step contains {coll}"
+
+    out = jax.jit(lambda v: fn(v, None))(x)
+    # every device holds exactly B/N of the batch
+    shards = out.addressable_shards
+    assert len(shards) == 8
+    assert sorted(s.device.id for s in shards) == list(range(8))
+    for s in shards:
+        assert s.data.shape == (1, h, w, 3)
+
+
+def test_shard_batch_fn_output_matches_and_is_sharded():
+    h, w = 48, 64
+    mesh = make_mesh(n_data=8, n_spatial=1)
+    fn = _jnp_enhance(h, w)
+    lows, _ = synth_batch(8, h, w)
+    step = shard_batch_fn(lambda v: fn(v, None), mesh)
+    got = step(lows)
+    assert len(got.addressable_shards) == 8
+    want = jax.jit(lambda v: fn(v, None))(jnp.asarray(lows))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
