@@ -133,21 +133,32 @@ def enhance_learned_block(
     """Learned-method enhance on one halo'd row block.
 
     Args:
-      xb: (B, 3, HB, WB) f32 block in [0, 1]; HB = owned rows + 2 *
-        ``learned_halo(cfg)``; WB a multiple of 128 with MARGIN replicate cols
-        before the image's col 0. Halo rows are neighbor rows (sharded) or
-        edge replicas (single device / global edges) — same values either way.
+      xb: (B, 3, HB, WB) block — f32 in [0, 1], or uint8 (the fast path:
+        curve/hybrid with ``use_pallas`` run the fused u8-in/u8-out tail
+        kernel, and sharded halos move u8 rows over ICI at 1/4 the bytes);
+        HB = owned rows + 2 * ``learned_halo(cfg)``; WB a multiple of 128
+        with MARGIN replicate cols before the image's col 0. Halo rows are
+        neighbor rows (sharded) or edge replicas (single device / global
+        edges) — same values either way.
       row0: image-row index of block row 0 (may be a traced scalar).
       h, w: true image extent, for the zero-mask beyond MARGIN.
       pre_boosted: (hybrid only) an externally computed illumination-boosted
         block — e.g. the temporally-EMA'd boost of ``video.video_step`` —
-        used in place of the internal ``illumination_boost``.
+        used in place of the internal ``illumination_boost`` (jnp tail only).
 
-    Returns (B, 3, HB - 2*halo, WB): enhanced owned rows, cols uncropped.
+    Returns (B, 3, HB - 2*halo, WB): enhanced owned rows, cols uncropped,
+    dtype matching ``xb``.
     """
+    from low_light_image_enhancement_tpu.ops.colorspace import (
+        normalize_u8,
+        quantize_u8,
+    )
+
     halo = learned_halo(cfg)
     rows = xb.shape[-2] - 2 * halo
-    y = xb
+    u8_io = xb.dtype == jnp.uint8
+    xf = normalize_u8(xb) if u8_io else xb
+    y = xf
 
     if cfg.method == "hybrid":
         # Boost first (Zero-DCE-on-boosted convention). Roll-wrap corruption
@@ -157,11 +168,18 @@ def enhance_learned_block(
         y = pre_boosted if pre_boosted is not None \
             else illumination_boost(y, cfg)
 
-    cnn_in = _mask_extent(y if cfg.method == "hybrid" else xb, row0, h, w)
+    cnn_in = _mask_extent(y if cfg.method == "hybrid" else xf, row0, h, w)
 
     if cfg.method in ("curve", "hybrid"):
-        y = jnp.clip(apply_curves(y, _curve_maps(cnn_in, cfg, model_params)),
-                     0.0, 1.0)
+        maps = _curve_maps(cnn_in, cfg, model_params)
+        if use_pallas and pre_boosted is None:
+            # Fused tail kernel: u8 normalize + (hybrid) boost + n_iter curve
+            # iterations + bilateral denoise + u8 quantize in one VMEM-
+            # resident pass — the maps are the only remaining f32 HBM read.
+            return _fused_curve_tail(xb, maps, cfg, halo, rows, interpret)
+        y = jnp.clip(apply_curves(y, maps), 0.0, 1.0)
+        if u8_io and cfg.denoise_strength <= 0.0:
+            return quantize_u8(y[..., halo : halo + rows, :])
     elif cfg.method == "fcn":
         from low_light_image_enhancement_tpu.models.fcn import apply_fcn
 
@@ -187,7 +205,8 @@ def enhance_learned_block(
         )
 
     if cfg.denoise_strength <= 0.0:
-        return y[..., halo : halo + rows, :]
+        out = y[..., halo : halo + rows, :]
+        return quantize_u8(out) if u8_io else out
 
     if use_pallas:
         from low_light_image_enhancement_tpu.kernels.striping import (
@@ -204,15 +223,56 @@ def enhance_learned_block(
         if extra:
             sub = jnp.pad(sub, ((0, 0),) * (sub.ndim - 2)
                           + ((0, extra), (0, 0)), mode="edge")
-        return tiled_denoise(sub, cfg.denoise_sigma, cfg.denoise_strength,
-                             plan, interpret=interpret)[..., :rows, :]
+        out = tiled_denoise(sub, cfg.denoise_sigma, cfg.denoise_strength,
+                            plan, interpret=interpret)[..., :rows, :]
+        return quantize_u8(out) if u8_io else out
 
     from low_light_image_enhancement_tpu.ops.denoise import bilateral_core
     from low_light_image_enhancement_tpu.ops.filters import roll2d
 
     inv2s2 = 1.0 / (2.0 * cfg.denoise_sigma * cfg.denoise_sigma)
     y = bilateral_core(y, inv2s2, cfg.denoise_strength, roll2d)
-    return jnp.clip(y, 0.0, 1.0)[..., halo : halo + rows, :]
+    out = jnp.clip(y, 0.0, 1.0)[..., halo : halo + rows, :]
+    return quantize_u8(out) if u8_io else out
+
+
+def _fused_curve_tail(
+    xb: jnp.ndarray,
+    maps: jnp.ndarray,
+    cfg: PipelineConfig,
+    halo: int,
+    rows: int,
+    interpret: bool,
+) -> jnp.ndarray:
+    """Route the raw block + curve maps through the fused Pallas tail
+    (kernels.fused_enhance.fused_curve_enhance); u8 or f32 in/out."""
+    from low_light_image_enhancement_tpu.kernels.fused_enhance import (
+        curve_plan_bytes_per_px,
+        fused_curve_enhance,
+    )
+    from low_light_image_enhancement_tpu.kernels.striping import plan_stripes
+
+    single = xb.ndim == 3
+    if single:
+        xb, maps = xb[None], maps[None]
+    wb = xb.shape[-1]
+    plan = plan_stripes(
+        rows, wb - 2 * MARGIN, MARGIN, cfg.stripe_rows,
+        bytes_per_px=curve_plan_bytes_per_px(cfg.curve_iters),
+    )
+    sub = xb[..., halo - MARGIN : halo + rows + MARGIN, :]
+    maps_sub = maps[..., halo - MARGIN : halo + rows + MARGIN, :]
+    extra = plan.padded_h - (rows + 2 * MARGIN)
+    if extra:
+        pad = ((0, 0),) * (sub.ndim - 2) + ((0, extra), (0, 0))
+        sub = jnp.pad(sub, pad, mode="edge")
+        maps_sub = jnp.pad(
+            maps_sub, ((0, 0),) * (maps_sub.ndim - 2) + ((0, extra), (0, 0)),
+            mode="edge",
+        )
+    out = fused_curve_enhance(sub, maps_sub, cfg, plan,
+                              interpret=interpret)[..., :rows, :]
+    return out[0] if single else out
 
 
 def block_geometry(cfg: PipelineConfig, h: int, w: int, n_shards: int = 1):

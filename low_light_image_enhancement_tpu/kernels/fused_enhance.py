@@ -43,19 +43,65 @@ def kroll2d(x: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
 
 def _retinex_kernel(
     x_ref, o_ref, *, radius, sigma, gamma, eps, inv2s2, strength, margin, th,
-    u8_io,
+    u8_io, stages=("blur", "boost", "denoise"),
 ):
+    """``stages`` gates the pipeline's compute stages so the per-stage
+    device-time tool (scripts/profile_stages.py) can compile truncated
+    variants and difference their rates; production always passes all."""
     raw = x_ref[0, 0]  # (3, THh, Wp)
     if u8_io:
         # Mosaic has no direct u8<->f32 cast; bridge through int32.
         x = raw.astype(jnp.int32).astype(jnp.float32) * (1.0 / 255.0)
     else:
         x = raw
-    l0 = jnp.maximum(jnp.maximum(x[0], x[1]), x[2])
-    l = jnp.clip(separable_blur(l0, radius, sigma, kroll2d), eps, 1.0)
-    boost = jnp.exp((gamma - 1.0) * jnp.log(l))
+    boost = None
+    if "boost" in stages or "blur" in stages:
+        l0 = jnp.maximum(jnp.maximum(x[0], x[1]), x[2])
+        l = jnp.clip(separable_blur(l0, radius, sigma, kroll2d), eps, 1.0) \
+            if "blur" in stages else jnp.clip(l0, eps, 1.0)
+        if "boost" in stages:
+            boost = jnp.exp((gamma - 1.0) * jnp.log(l))
+        else:
+            boost = l  # keep the blur's result live without the exp/log
     for c in range(3):  # per-plane 2-D ops keep Mosaic layouts simple
-        y = jnp.clip(x[c] * boost, 0.0, 1.0)
+        y = x[c] if boost is None else jnp.clip(x[c] * boost, 0.0, 1.0)
+        if strength > 0.0 and "denoise" in stages:
+            y = bilateral_core(y, inv2s2, strength, kroll2d)
+        y = jnp.clip(y, 0.0, 1.0)[margin : margin + th, :]
+        if u8_io:
+            y = jnp.clip(jnp.round(y * 255.0), 0.0, 255.0)
+            y = y.astype(jnp.int32).astype(jnp.uint8)
+        o_ref[0, 0, c] = y
+
+
+def _curve_kernel(
+    x_ref, m_ref, o_ref, *, boost, n_iter, radius, sigma, gamma, eps, inv2s2,
+    strength, margin, th, u8_io,
+):
+    """Fused learned tail (BASELINE.json north_star conv-net fusion, tail
+    half): u8 normalize -> optional retinex boost (hybrid) -> ``n_iter``
+    LE-curve iterations from the CNN's parameter maps -> bilateral denoise ->
+    u8 quantize. Math mirrors ``blocks.enhance_learned_block`` tap-for-tap;
+    the curve maps arrive as a second stripe input (the only f32 HBM traffic
+    left on the curve path)."""
+    raw = x_ref[0, 0]   # (3, THh, Wp)
+    maps = m_ref[0, 0]  # (n_iter*3, THh, Wp) f32
+    if u8_io:
+        x = raw.astype(jnp.int32).astype(jnp.float32) * (1.0 / 255.0)
+    else:
+        x = raw
+    if boost:
+        l0 = jnp.maximum(jnp.maximum(x[0], x[1]), x[2])
+        l = jnp.clip(separable_blur(l0, radius, sigma, kroll2d), eps, 1.0)
+        gain = jnp.exp((gamma - 1.0) * jnp.log(l))
+    for c in range(3):  # per-plane 2-D ops keep Mosaic layouts simple
+        y = x[c]
+        if boost:
+            y = jnp.clip(y * gain, 0.0, 1.0)
+        for i in range(n_iter):  # static unroll, as ops.curves.apply_curves
+            a = maps[i * 3 + c]
+            y = y + a * y * (1.0 - y)
+        y = jnp.clip(y, 0.0, 1.0)
         if strength > 0.0:
             y = bilateral_core(y, inv2s2, strength, kroll2d)
         y = jnp.clip(y, 0.0, 1.0)[margin : margin + th, :]
@@ -65,11 +111,63 @@ def _retinex_kernel(
         o_ref[0, 0, c] = y
 
 
+def fused_curve_enhance(
+    xp: jnp.ndarray,
+    curve_maps: jnp.ndarray,
+    cfg: PipelineConfig,
+    plan: StripePlan,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused curve/hybrid tail over a padded planar batch.
+
+    Args:
+      xp: (B, 3, Hp, Wp) padded canvas, uint8 (fast path) or f32 in [0, 1].
+      curve_maps: (B, n_iter, 3, Hp, Wp) f32 LE-curve maps on the same
+        canvas (from ``models.apply_curve_cnn`` / ``blocks._curve_maps``).
+      plan: stripe plan for (Hp, Wp) — use ``bytes_per_px`` sized for the
+        map planes (see ``curve_plan_bytes_per_px``).
+
+    Returns (B, 3, S*TH, Wp): rows [margin, margin + S*TH) of the canvas;
+    caller crops columns. Output dtype matches ``xp``.
+    """
+    u8_io = xp.dtype == jnp.uint8
+    b, n_iter = curve_maps.shape[0], curve_maps.shape[1]
+    maps_flat = curve_maps.reshape(b, n_iter * 3, *curve_maps.shape[-2:])
+
+    x_stripes = jnp.transpose(extract_stripes(xp, plan), (0, 2, 1, 3, 4))
+    m_stripes = jnp.transpose(extract_stripes(maps_flat, plan),
+                              (0, 2, 1, 3, 4))
+    kernel = functools.partial(
+        _curve_kernel,
+        boost=cfg.method == "hybrid",
+        n_iter=n_iter,
+        radius=cfg.blur_radius,
+        sigma=cfg.blur_sigma,
+        gamma=cfg.gamma,
+        eps=cfg.illum_eps,
+        inv2s2=1.0 / (2.0 * cfg.denoise_sigma * cfg.denoise_sigma),
+        strength=cfg.denoise_strength,
+        margin=plan.margin,
+        th=plan.stripe_rows,
+        u8_io=u8_io,
+    )
+    out = stripe_pallas_call(kernel, [x_stripes, m_stripes], plan, xp.dtype,
+                             interpret=interpret)
+    return merge_stripes(out, plan)
+
+
+def curve_plan_bytes_per_px(n_iter: int) -> int:
+    """Resident VMEM input bytes/pixel of the curve kernel: n_iter*3 f32 map
+    planes + 3 u8 in + 3 u8 out + ~4 f32 working planes."""
+    return n_iter * 3 * 4 + 6 + 16
+
+
 def fused_retinex(
     xp: jnp.ndarray,
     cfg: PipelineConfig,
     plan: StripePlan,
     interpret: bool = False,
+    stages=("blur", "boost", "denoise"),
 ) -> jnp.ndarray:
     """Run the fused kernel over a padded planar batch.
 
@@ -100,6 +198,7 @@ def fused_retinex(
         margin=plan.margin,
         th=plan.stripe_rows,
         u8_io=u8_io,
+        stages=tuple(stages),
     )
     out = stripe_pallas_call(kernel, stripes, plan, xp.dtype,
                              interpret=interpret)

@@ -40,12 +40,17 @@ _VMEM_STRIPE_BUDGET = 6 * 1024 * 1024
 
 
 def plan_stripes(
-    h: int, w: int, margin: int, max_rows: int = 1024
+    h: int, w: int, margin: int, max_rows: int = 1024,
+    bytes_per_px: int = 12,
 ) -> StripePlan:
     """Choose the largest VMEM-fitting stripe height (fewest stripes, least
-    halo-overlap recompute) that tiles ``h``, hardware-aligned."""
+    halo-overlap recompute) that tiles ``h``, hardware-aligned.
+
+    ``bytes_per_px``: the kernel's resident input bytes per pixel — 12 for
+    the 3-plane f32 kernels; the curve kernel carries 8 iterations x 3
+    channels of f32 maps on top (~100+)."""
     wp = _round_up(w + 2 * margin, 128)
-    budget_rows = _VMEM_STRIPE_BUDGET // (3 * 4 * wp) - 2 * margin
+    budget_rows = _VMEM_STRIPE_BUDGET // (bytes_per_px * wp) - 2 * margin
     cap = max(8, min(max_rows, (budget_rows // 8) * 8))
     s = max(1, -(-h // cap))
     th = _round_up(-(-h // s), 8)
@@ -69,40 +74,47 @@ def extract_stripes(xp: jnp.ndarray, plan: StripePlan) -> jnp.ndarray:
 
 def stripe_pallas_call(
     kernel,
-    stripes: jnp.ndarray,
+    stripes,
     plan: StripePlan,
     out_dtype,
     interpret: bool = False,
+    out_channels: int = 3,
 ) -> jnp.ndarray:
-    """Run a per-stripe kernel over (B, S, 3, THh, Wp) planar stripes.
+    """Run a per-stripe kernel over (B, S, C, THh, Wp) planar stripes.
 
-    One grid step per (image, stripe); the kernel reads a full halo'd stripe
-    block and writes the central (3, TH, Wp) block. Shared scaffolding for
-    every planar stripe kernel so grid/BlockSpec conventions live once.
+    ``stripes`` may be one array or a sequence (e.g. image stripes + curve-map
+    stripes); each gets a full halo'd VMEM block per grid step and the kernel
+    receives one ref per array, in order, before the output ref. One grid
+    step per (image, stripe); the kernel writes the central
+    (out_channels, TH, Wp) block. Shared scaffolding for every planar stripe
+    kernel so grid/BlockSpec conventions live once.
     """
-    b = stripes.shape[0]
+    arrs = list(stripes) if isinstance(stripes, (list, tuple)) else [stripes]
+    b = arrs[0].shape[0]
     thh = plan.stripe_rows + 2 * plan.margin
     return pl.pallas_call(
         kernel,
         grid=(b, plan.n_stripes),
         in_specs=[
             pl.BlockSpec(
-                (1, 1, 3, thh, plan.padded_w),
+                (1, 1, a.shape[2], thh, plan.padded_w),
                 lambda i, j: (i, j, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             )
+            for a in arrs
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, 3, plan.stripe_rows, plan.padded_w),
+            (1, 1, out_channels, plan.stripe_rows, plan.padded_w),
             lambda i, j: (i, j, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (b, plan.n_stripes, 3, plan.stripe_rows, plan.padded_w),
+            (b, plan.n_stripes, out_channels, plan.stripe_rows,
+             plan.padded_w),
             out_dtype,
         ),
         interpret=interpret,
-    )(stripes)
+    )(*arrs)
 
 
 def merge_stripes(out: jnp.ndarray, plan: StripePlan) -> jnp.ndarray:

@@ -151,14 +151,10 @@ def _enhance_learned_sharded(
         enhance_learned_block,
         learned_halo,
     )
-    from low_light_image_enhancement_tpu.ops.colorspace import (
-        normalize_u8,
-        quantize_u8,
-    )
 
-    u8_io = x.dtype == jnp.uint8
-    if u8_io:
-        x = normalize_u8(x)
+    # u8 input flows through as u8: halos exchange u8 rows over ICI (1/4 the
+    # bytes) and the block converts at its own boundary (in-kernel on the
+    # fused curve/hybrid tail).
     n_sp = mesh.shape["spatial"]
     b, c, h, w = x.shape
     m = MARGIN
@@ -184,5 +180,4 @@ def _enhance_learned_sharded(
         out_specs=P("data", None, "spatial", None),
         check_vma=False,
     )
-    out = sharded(xc, model_params)[..., :h, m : m + w]
-    return quantize_u8(out) if u8_io else out
+    return sharded(xc, model_params)[..., :h, m : m + w]

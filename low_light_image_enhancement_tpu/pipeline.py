@@ -87,9 +87,10 @@ def _enhance_u8_batch(
 
     halo = learned_halo(cfg)
     h_core, wp = block_geometry(cfg, h, w)
-    x = jnp.transpose(normalize_u8(imgs_u8), (0, 3, 1, 2))  # planar f32
+    # u8 block end-to-end: normalization happens inside the block (in-kernel
+    # on the fused curve/hybrid tail), quantization on the way out.
     xb = jnp.pad(
-        x,
+        jnp.transpose(imgs_u8, (0, 3, 1, 2)),
         ((0, 0), (0, 0), (halo, halo + h_core - h), (m, wp - w - m)),
         mode="edge",
     )
@@ -97,8 +98,7 @@ def _enhance_u8_batch(
         xb, cfg, model_params, row0=-halo, h=h, w=w,
         use_pallas=use_pallas, interpret=pallas_interpret,
     )
-    y = yb[..., :h, m : m + w]
-    return jnp.transpose(quantize_u8(y), (0, 2, 3, 1))
+    return jnp.transpose(yb[..., :h, m : m + w], (0, 2, 3, 1))
 
 
 class EnhancePipeline:

@@ -208,18 +208,76 @@ def config5_4k_sharded(quick: bool) -> dict:
     }
 
 
+def config6_ingest(quick: bool) -> dict:
+    """Host-ingest (JPEG-decode) throughput: the host-side ceiling that the
+    prefetch queue must hide to keep the device fed (SURVEY.md §7 hard part
+    (d); VERDICT r1 item 3). Measures decode-only rate at 600x400 for
+    worker counts 1/2/4/8, plus an overlap check: decode feeding the device
+    pipeline through PrefetchQueue vs the decode-only rate."""
+    import multiprocessing
+
+    from low_light_image_enhancement_tpu.data.synth import synth_batch
+    from low_light_image_enhancement_tpu.io.codec import (
+        decode_image,
+        encode_image,
+    )
+    from low_light_image_enhancement_tpu.io.prefetch import PrefetchQueue
+    from low_light_image_enhancement_tpu.pipeline import EnhancePipeline
+
+    n = 32 if quick else 128
+    lows, _ = synth_batch(8, 400, 600)
+    blobs = [
+        encode_image(lows[i % 8], format="JPEG", quality=90)
+        for i in range(n)
+    ]
+
+    decode_rate = {}
+    for workers in (1, 2, 4, 8):
+        t0 = time.perf_counter()
+        got = 0
+        with PrefetchQueue(iter(blobs), depth=4, transform=decode_image,
+                           device_put=False, workers=workers) as q:
+            for _ in q:
+                got += 1
+        assert got == n
+        decode_rate[str(workers)] = round(n / (time.perf_counter() - t0), 1)
+
+    # overlap: decode -> device enhance through the queue; if prefetch hides
+    # decode behind device compute (or vice versa), e2e ~= min path's rate
+    pipe = EnhancePipeline()
+    _sync(pipe.enhance_batch_device(jnp.asarray(lows[:1])))  # compile
+    t0 = time.perf_counter()
+    out = None
+    with PrefetchQueue(iter(blobs), depth=4,
+                       transform=lambda b: decode_image(b)[None],
+                       workers=2) as q:
+        for batch in q:
+            out = pipe.enhance_batch_device(batch)
+    _sync(out)
+    e2e = n / (time.perf_counter() - t0)
+    return {
+        "config": "ingest",
+        "n_images": n,
+        "host_cores": multiprocessing.cpu_count(),
+        "decode_images_per_sec": decode_rate,
+        "decode_plus_device_images_per_sec": round(e2e, 1),
+    }
+
+
 CONFIGS = {
     1: config1_single_cpu,
     2: config2_lol_eval,
     3: config3_curve_cnn,
     4: config4_1080p_stream,
     5: config5_4k_sharded,
+    6: config6_ingest,
 }
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--configs", type=int, nargs="*", default=[1, 2, 3, 4, 5])
+    ap.add_argument("--configs", type=int, nargs="*",
+                    default=[1, 2, 3, 4, 5, 6])
     ap.add_argument("--quick", action="store_true")
     args = ap.parse_args()
     for c in args.configs:
