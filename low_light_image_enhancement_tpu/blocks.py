@@ -87,35 +87,49 @@ def _mask_extent(
     return jnp.where(row_ok & col_ok, y, 0.0)
 
 
-def _curve_maps(
+def _curve_maps_lowres(
     cnn_in: jnp.ndarray, cfg: PipelineConfig, params: Dict[str, Any]
 ) -> jnp.ndarray:
-    """Estimate LE-curve maps on the (masked) block, at 1/ds resolution when
-    curve_downsample > 1 (near-lossless FLOP cut: the maps are smooth by the
-    TV training loss)."""
+    """Estimate LE-curve maps on the (masked) block at 1/ds resolution
+    (near-lossless FLOP cut: the maps are smooth by the TV training loss).
+    Returns (..., n_iter, 3, HB/ds, WB/ds) — NOT upsampled."""
     from low_light_image_enhancement_tpu.models.curve_cnn import (
         apply_curve_cnn,
     )
 
     ds = cfg.curve_downsample
     if ds > 1:
-        b_, c_, hb, wb = cnn_in.shape
+        *lead, hb, wb = cnn_in.shape
         if hb % ds or wb % ds:
             raise ValueError(
                 f"block {hb}x{wb} not divisible by curve_downsample={ds}"
             )
         cnn_in = jax.image.resize(
-            cnn_in, (b_, c_, hb // ds, wb // ds), method="bilinear"
+            cnn_in, (*lead, hb // ds, wb // ds), method="bilinear"
         )
-    maps = apply_curve_cnn(
+    return apply_curve_cnn(
         params, cnn_in, n_iter=cfg.curve_iters,
         compute_dtype=jnp.dtype(cfg.compute_dtype),
     )
+
+
+def _curve_maps(
+    cnn_in: jnp.ndarray, cfg: PipelineConfig, params: Dict[str, Any]
+) -> jnp.ndarray:
+    """Full-resolution LE-curve maps: low-res estimate + the integer-factor
+    bilinear upsample of record (``ops.filters.upsample_int``, cols then
+    rows — exactly the order the fused kernel uses, so both paths share the
+    same floats)."""
+    from low_light_image_enhancement_tpu.ops.filters import (
+        shift2d,
+        upsample_int,
+    )
+
+    maps = _curve_maps_lowres(cnn_in, cfg, params)
+    ds = cfg.curve_downsample
     if ds > 1:
-        b_, it_, c_, hl_, wl_ = maps.shape
-        maps = jax.image.resize(
-            maps, (b_, it_, c_, hl_ * ds, wl_ * ds), method="bilinear"
-        )
+        maps = upsample_int(maps, ds, axis=-1, shift_fn=shift2d)
+        maps = upsample_int(maps, ds, axis=-2, shift_fn=shift2d)
     return maps
 
 
@@ -171,12 +185,29 @@ def enhance_learned_block(
     cnn_in = _mask_extent(y if cfg.method == "hybrid" else xf, row0, h, w)
 
     if cfg.method in ("curve", "hybrid"):
-        maps = _curve_maps(cnn_in, cfg, model_params)
+        ds = cfg.curve_downsample
         if use_pallas and pre_boosted is None:
             # Fused tail kernel: u8 normalize + (hybrid) boost + n_iter curve
             # iterations + bilateral denoise + u8 quantize in one VMEM-
             # resident pass — the maps are the only remaining f32 HBM read.
-            return _fused_curve_tail(xb, maps, cfg, halo, rows, interpret)
+            # With ds in {2, 4} the maps stay at 1/ds rows (cols upsampled in
+            # XLA, rows inside the kernel): ds x less map traffic.
+            if ds in (2, 4):
+                from low_light_image_enhancement_tpu.ops.filters import (
+                    shift2d,
+                    upsample_int,
+                )
+
+                maps_lo = _curve_maps_lowres(cnn_in, cfg, model_params)
+                maps_lo = upsample_int(maps_lo, ds, axis=-1,
+                                       shift_fn=shift2d)
+                return _fused_curve_tail(xb, maps_lo, cfg, halo, rows,
+                                         interpret, ds=ds)
+            return _fused_curve_tail(
+                xb, _curve_maps(cnn_in, cfg, model_params), cfg, halo, rows,
+                interpret,
+            )
+        maps = _curve_maps(cnn_in, cfg, model_params)
         y = jnp.clip(apply_curves(y, maps), 0.0, 1.0)
         if u8_io and cfg.denoise_strength <= 0.0:
             return quantize_u8(y[..., halo : halo + rows, :])
@@ -243,9 +274,18 @@ def _fused_curve_tail(
     halo: int,
     rows: int,
     interpret: bool,
+    ds: int = 1,
 ) -> jnp.ndarray:
     """Route the raw block + curve maps through the fused Pallas tail
-    (kernels.fused_enhance.fused_curve_enhance); u8 or f32 in/out."""
+    (kernels.fused_enhance.fused_curve_enhance); u8 or f32 in/out.
+
+    ``ds`` == 1: ``maps`` is (B, it, 3, HB, WB) full-res. ``ds`` in {2, 4}:
+    ``maps`` is (B, it, 3, HB/ds, WB) — columns already upsampled, rows
+    upsampled inside the kernel. Alignment invariants (all guaranteed by
+    ``learned_halo``'s 8*ds granule, MARGIN=4 and 8-multiple stripe rows):
+    halo, MARGIN, stripe offsets and padded_h are divisible by ds, so the
+    stripe-local row phase equals the block row phase and the kernel's
+    upsample reproduces the reference's floats exactly on consumed rows."""
     from low_light_image_enhancement_tpu.kernels.fused_enhance import (
         curve_plan_bytes_per_px,
         fused_curve_enhance,
@@ -258,20 +298,30 @@ def _fused_curve_tail(
     wb = xb.shape[-1]
     plan = plan_stripes(
         rows, wb - 2 * MARGIN, MARGIN, cfg.stripe_rows,
-        bytes_per_px=curve_plan_bytes_per_px(cfg.curve_iters),
+        bytes_per_px=curve_plan_bytes_per_px(cfg.curve_iters, ds),
     )
     sub = xb[..., halo - MARGIN : halo + rows + MARGIN, :]
-    maps_sub = maps[..., halo - MARGIN : halo + rows + MARGIN, :]
     extra = plan.padded_h - (rows + 2 * MARGIN)
     if extra:
-        pad = ((0, 0),) * (sub.ndim - 2) + ((0, extra), (0, 0))
-        sub = jnp.pad(sub, pad, mode="edge")
-        maps_sub = jnp.pad(
-            maps_sub, ((0, 0),) * (maps_sub.ndim - 2) + ((0, extra), (0, 0)),
+        sub = jnp.pad(
+            sub, ((0, 0),) * (sub.ndim - 2) + ((0, extra), (0, 0)),
             mode="edge",
         )
-    out = fused_curve_enhance(sub, maps_sub, cfg, plan,
-                              interpret=interpret)[..., :rows, :]
+    lo0 = (halo - MARGIN) // ds
+    lo_rows = plan.padded_h // ds
+    avail = maps.shape[-2]
+    maps_sub = maps[..., lo0 : min(lo0 + lo_rows, avail), :]
+    short = lo0 + lo_rows - avail
+    if short > 0:
+        # rows past the block only pad alignment stripes whose output is
+        # cropped; values are irrelevant
+        maps_sub = jnp.pad(
+            maps_sub,
+            ((0, 0),) * (maps_sub.ndim - 2) + ((0, short), (0, 0)),
+            mode="edge",
+        )
+    out = fused_curve_enhance(sub, maps_sub, cfg, plan, interpret=interpret,
+                              ds=ds)[..., :rows, :]
     return out[0] if single else out
 
 

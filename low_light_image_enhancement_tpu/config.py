@@ -77,8 +77,12 @@ class PipelineConfig:
             raise ValueError("denoise_strength must be in [0, 1]")
         if self.denoise_strength > 0.0 and self.denoise_sigma <= 0:
             raise ValueError("denoise_sigma must be > 0")
-        if self.curve_downsample < 1:
-            raise ValueError("curve_downsample must be >= 1")
+        if self.curve_downsample not in (1, 2, 4, 8):
+            raise ValueError(
+                "curve_downsample must be 1, 2, 4 or 8 (the integer-factor "
+                "bilinear upsample of record and the sharded/striped phase "
+                "alignment need a small even factor)"
+            )
 
     def replace(self, **kw) -> "PipelineConfig":
         return dataclasses.replace(self, **kw)

@@ -76,16 +76,20 @@ def _retinex_kernel(
 
 def _curve_kernel(
     x_ref, m_ref, o_ref, *, boost, n_iter, radius, sigma, gamma, eps, inv2s2,
-    strength, margin, th, u8_io,
+    strength, margin, th, u8_io, ds,
 ):
     """Fused learned tail (BASELINE.json north_star conv-net fusion, tail
     half): u8 normalize -> optional retinex boost (hybrid) -> ``n_iter``
     LE-curve iterations from the CNN's parameter maps -> bilateral denoise ->
     u8 quantize. Math mirrors ``blocks.enhance_learned_block`` tap-for-tap;
     the curve maps arrive as a second stripe input (the only f32 HBM traffic
-    left on the curve path)."""
+    left on the curve path). With ``ds`` in {2, 4} the maps come in at 1/ds
+    rows and are row-upsampled here with the upsample of record
+    (``ops.filters.upsample_int`` + roll shifts) — ds x less map traffic."""
+    from low_light_image_enhancement_tpu.ops.filters import upsample_int
+
     raw = x_ref[0, 0]   # (3, THh, Wp)
-    maps = m_ref[0, 0]  # (n_iter*3, THh, Wp) f32
+    maps = m_ref[0, 0]  # (n_iter*3, THh/ds, Wp) f32
     if u8_io:
         x = raw.astype(jnp.int32).astype(jnp.float32) * (1.0 / 255.0)
     else:
@@ -100,6 +104,8 @@ def _curve_kernel(
             y = jnp.clip(y * gain, 0.0, 1.0)
         for i in range(n_iter):  # static unroll, as ops.curves.apply_curves
             a = maps[i * 3 + c]
+            if ds > 1:
+                a = upsample_int(a, ds, axis=0, shift_fn=kroll2d)
             y = y + a * y * (1.0 - y)
         y = jnp.clip(y, 0.0, 1.0)
         if strength > 0.0:
@@ -117,13 +123,18 @@ def fused_curve_enhance(
     cfg: PipelineConfig,
     plan: StripePlan,
     interpret: bool = False,
+    ds: int = 1,
 ) -> jnp.ndarray:
     """Fused curve/hybrid tail over a padded planar batch.
 
     Args:
       xp: (B, 3, Hp, Wp) padded canvas, uint8 (fast path) or f32 in [0, 1].
-      curve_maps: (B, n_iter, 3, Hp, Wp) f32 LE-curve maps on the same
-        canvas (from ``models.apply_curve_cnn`` / ``blocks._curve_maps``).
+      curve_maps: f32 LE-curve maps on the same canvas (from
+        ``models.apply_curve_cnn`` / ``blocks._curve_maps``): ``ds`` == 1 —
+        (B, n_iter, 3, Hp, Wp) full-res; ``ds`` in {2, 4} — (B, n_iter, 3,
+        Hp/ds, Wp) column-upsampled, rows upsampled in-kernel. Hp, the
+        stripe rows and the margin must all divide by ds (the pipeline's
+        8-multiples guarantee it).
       plan: stripe plan for (Hp, Wp) — use ``bytes_per_px`` sized for the
         map planes (see ``curve_plan_bytes_per_px``).
 
@@ -135,7 +146,19 @@ def fused_curve_enhance(
     maps_flat = curve_maps.reshape(b, n_iter * 3, *curve_maps.shape[-2:])
 
     x_stripes = jnp.transpose(extract_stripes(xp, plan), (0, 2, 1, 3, 4))
-    m_stripes = jnp.transpose(extract_stripes(maps_flat, plan),
+    if ds == 1:
+        lo_plan = plan
+    else:
+        if plan.stripe_rows % ds or plan.margin % ds:
+            raise ValueError(
+                f"stripe rows {plan.stripe_rows} / margin {plan.margin} "
+                f"not divisible by curve_downsample={ds}"
+            )
+        lo_plan = StripePlan(
+            plan.n_stripes, plan.stripe_rows // ds, plan.padded_h // ds,
+            plan.padded_w, plan.margin // ds,
+        )
+    m_stripes = jnp.transpose(extract_stripes(maps_flat, lo_plan),
                               (0, 2, 1, 3, 4))
     kernel = functools.partial(
         _curve_kernel,
@@ -150,16 +173,21 @@ def fused_curve_enhance(
         margin=plan.margin,
         th=plan.stripe_rows,
         u8_io=u8_io,
+        ds=ds,
     )
     out = stripe_pallas_call(kernel, [x_stripes, m_stripes], plan, xp.dtype,
                              interpret=interpret)
     return merge_stripes(out, plan)
 
 
-def curve_plan_bytes_per_px(n_iter: int) -> int:
-    """Resident VMEM input bytes/pixel of the curve kernel: n_iter*3 f32 map
-    planes + 3 u8 in + 3 u8 out + ~4 f32 working planes."""
-    return n_iter * 3 * 4 + 6 + 16
+def curve_plan_bytes_per_px(n_iter: int, ds: int = 1) -> int:
+    """Resident VMEM bytes/pixel of the curve kernel for stripe sizing:
+    n_iter*3 f32 map planes (1/ds rows when downsampled) + u8 in/out +
+    working set. Mosaic's scoped-stack peak measured ~213 B/px for the
+    ds=4 in-kernel row-upsample variant (it keeps several full-res f32
+    temps live per iteration), so the working term is generous — a stripe
+    that is too short only adds a little halo re-read."""
+    return n_iter * 3 * 4 // ds + 6 + (16 if ds == 1 else 160)
 
 
 def fused_retinex(

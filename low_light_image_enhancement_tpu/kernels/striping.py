@@ -91,13 +91,14 @@ def stripe_pallas_call(
     """
     arrs = list(stripes) if isinstance(stripes, (list, tuple)) else [stripes]
     b = arrs[0].shape[0]
-    thh = plan.stripe_rows + 2 * plan.margin
     return pl.pallas_call(
         kernel,
         grid=(b, plan.n_stripes),
         in_specs=[
+            # rows/cols come from each array: low-res side inputs (e.g. the
+            # curve kernel's 1/ds-row maps) get proportionally small blocks
             pl.BlockSpec(
-                (1, 1, a.shape[2], thh, plan.padded_w),
+                (1, 1, a.shape[2], a.shape[3], a.shape[4]),
                 lambda i, j: (i, j, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             )

@@ -60,6 +60,38 @@ def shift2d(x: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
     return x
 
 
+def upsample_int(x, ds: int, axis: int, shift_fn):
+    """Integer-factor bilinear upsample along ``axis`` (half-pixel grid —
+    numerically ~1 ulp from ``jax.image.resize(method='bilinear')``, and THE
+    upsample of record for curve maps): repeat + two shifts + per-phase
+    blend, so the fused Pallas kernel reproduces it with ``pltpu.roll``
+    shifts instruction-for-instruction. ``ds`` must be even (or 1).
+
+    out[i] = (1-f)*rep[i - ds/2] + f*rep[i + ds/2], rep[i] = x[i // ds],
+    f depending only on i mod ds — which is what makes shard-local and
+    stripe-local evaluation coincide with the global one on interiors.
+    """
+    if ds == 1:
+        return x
+    if ds % 2:
+        raise ValueError(f"upsample_int needs an even factor, got {ds}")
+    import jax
+
+    ax = axis % x.ndim
+    rep = jnp.repeat(x, ds, axis=ax)
+    half = ds // 2
+    dy, dx = (half, 0) if ax == rep.ndim - 2 else (0, half)
+    lo = shift_fn(rep, dy, dx)      # rep[i - half]
+    hi = shift_fn(rep, -dy, -dx)    # rep[i + half]
+    phase = jax.lax.broadcasted_iota(jnp.int32, rep.shape, ax) % ds
+    f0 = float(((0.5 / ds) - 0.5) % 1.0)
+    f = jnp.full(rep.shape, f0, x.dtype)
+    for p in range(1, ds):
+        fp = float((((p + 0.5) / ds) - 0.5) % 1.0)
+        f = jnp.where(phase == p, jnp.asarray(fp, x.dtype), f)
+    return lo * (1.0 - f) + hi * f
+
+
 def separable_blur(x, radius, sigma, shift_fn):
     """Separable Gaussian blur as two tap loops over ``shift_fn``.
 

@@ -35,6 +35,8 @@ def test_fused_curve_no_denoise_and_downsample():
     for cfg in (
         PipelineConfig(method="curve", denoise_strength=0.0),
         PipelineConfig(method="curve", curve_downsample=2),
+        PipelineConfig(method="curve", curve_downsample=4),
+        PipelineConfig(method="hybrid", curve_downsample=4),
     ):
         ref = EnhancePipeline(cfg, force_jnp=True)
         fused = EnhancePipeline(cfg, pallas_interpret=True,
