@@ -85,8 +85,10 @@ def _curve_kernel(
     the curve maps arrive as a second stripe input (the only f32 HBM traffic
     left on the curve path). With ``ds`` in {2, 4} the maps come in at 1/ds
     rows and are row-upsampled here with the upsample of record
-    (``ops.filters.upsample_int`` + roll shifts) — ds x less map traffic."""
-    from low_light_image_enhancement_tpu.ops.filters import upsample_int
+    (``ops.filters.upsample_int`` + roll shifts) — ds x less map traffic.
+    The phase-blend plane is hoisted out of the per-channel loop (it only
+    depends on the row index mod ds)."""
+    from low_light_image_enhancement_tpu.ops.filters import upsample_phase
 
     raw = x_ref[0, 0]   # (3, THh, Wp)
     maps = m_ref[0, 0]  # (n_iter*3, THh/ds, Wp) f32
@@ -94,6 +96,10 @@ def _curve_kernel(
         x = raw.astype(jnp.int32).astype(jnp.float32) * (1.0 / 255.0)
     else:
         x = raw
+    if ds > 1:
+        f_up = upsample_phase(raw.shape[-2:], ds, 0, jnp.float32)
+        f_com = 1.0 - f_up
+        half = ds // 2
     if boost:
         l0 = jnp.maximum(jnp.maximum(x[0], x[1]), x[2])
         l = jnp.clip(separable_blur(l0, radius, sigma, kroll2d), eps, 1.0)
@@ -105,7 +111,10 @@ def _curve_kernel(
         for i in range(n_iter):  # static unroll, as ops.curves.apply_curves
             a = maps[i * 3 + c]
             if ds > 1:
-                a = upsample_int(a, ds, axis=0, shift_fn=kroll2d)
+                rep = jnp.repeat(a, ds, axis=0)
+                # same float ops as upsample_int: lo*(1-f) + hi*f
+                a = kroll2d(rep, half, 0) * f_com \
+                    + kroll2d(rep, -half, 0) * f_up
             y = y + a * y * (1.0 - y)
         y = jnp.clip(y, 0.0, 1.0)
         if strength > 0.0:

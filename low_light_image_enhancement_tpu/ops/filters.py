@@ -83,13 +83,28 @@ def upsample_int(x, ds: int, axis: int, shift_fn):
     dy, dx = (half, 0) if ax == rep.ndim - 2 else (0, half)
     lo = shift_fn(rep, dy, dx)      # rep[i - half]
     hi = shift_fn(rep, -dy, -dx)    # rep[i + half]
-    phase = jax.lax.broadcasted_iota(jnp.int32, rep.shape, ax) % ds
-    f0 = float(((0.5 / ds) - 0.5) % 1.0)
-    f = jnp.full(rep.shape, f0, x.dtype)
-    for p in range(1, ds):
-        fp = float((((p + 0.5) / ds) - 0.5) % 1.0)
-        f = jnp.where(phase == p, jnp.asarray(fp, x.dtype), f)
+    f = upsample_phase(rep.shape[-2:], ds, ax - (x.ndim - 2), x.dtype)
     return lo * (1.0 - f) + hi * f
+
+
+@lru_cache(maxsize=None)
+def _phase_consts(ds: int) -> Tuple[float, ...]:
+    return tuple(float((((p + 0.5) / ds) - 0.5) % 1.0) for p in range(ds))
+
+
+def upsample_phase(shape2d, ds: int, axis2d: int, dtype) -> jnp.ndarray:
+    """The (H, W) blend-weight plane of ``upsample_int``: f depending only
+    on the index mod ds along ``axis2d`` (0=rows, 1=cols). Exposed so
+    kernels applying many channels can compute it once and reuse it."""
+    import jax
+
+    phase = jax.lax.broadcasted_iota(jnp.int32, tuple(shape2d),
+                                     len(shape2d) - 2 + axis2d) % ds
+    consts = _phase_consts(ds)
+    f = jnp.full(tuple(shape2d), consts[0], dtype)
+    for p in range(1, ds):
+        f = jnp.where(phase == p, jnp.asarray(consts[p], dtype), f)
+    return f
 
 
 def separable_blur(x, radius, sigma, shift_fn):
