@@ -195,8 +195,10 @@ def curve_plan_bytes_per_px(n_iter: int, ds: int = 1) -> int:
     working set. Mosaic's scoped-stack peak measured ~213 B/px for the
     ds=4 in-kernel row-upsample variant (it keeps several full-res f32
     temps live per iteration), so the working term is generous — a stripe
-    that is too short only adds a little halo re-read."""
-    return n_iter * 3 * 4 // ds + 6 + (16 if ds == 1 else 160)
+    that is too short only adds a little halo re-read. Sized against the
+    14 MB plan budget so the scoped peak stays under Mosaic's 16 MB."""
+    # Measured scoped peaks (v5e): ds=1 ~189 B/px, ds=4 ~213 B/px.
+    return n_iter * 3 * 4 // ds + (150 if ds == 1 else 216)
 
 
 def fused_retinex(

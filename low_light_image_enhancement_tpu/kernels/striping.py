@@ -32,23 +32,26 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-# Per-stripe f32 RGB working-set budget. The kernel holds a handful of
-# (THh, Wp) f32 planes (input planes, blur temps, per-channel output); 6 MB
-# of input-canvas footprint keeps the peak comfortably inside 16 MB VMEM
-# while letting a whole 600x400 LOL image be ONE stripe (no overlap copies).
-_VMEM_STRIPE_BUDGET = 6 * 1024 * 1024
+# Per-stripe VMEM budget for the kernel's *scoped* (stack) allocation.
+# Mosaic's scoped-vmem limit is 16 MB; plans must keep the measured resident
+# working set under it with headroom for Mosaic's own temporaries.
+_VMEM_STRIPE_BUDGET = 14 * 1024 * 1024
 
 
 def plan_stripes(
     h: int, w: int, margin: int, max_rows: int = 1024,
-    bytes_per_px: int = 12,
+    bytes_per_px: int = 40,
 ) -> StripePlan:
     """Choose the largest VMEM-fitting stripe height (fewest stripes, least
     halo-overlap recompute) that tiles ``h``, hardware-aligned.
 
-    ``bytes_per_px``: the kernel's resident input bytes per pixel — 12 for
-    the 3-plane f32 kernels; the curve kernel carries 8 iterations x 3
-    channels of f32 maps on top (~100+)."""
+    ``bytes_per_px``: the kernel's MEASURED resident bytes per stripe pixel
+    (Mosaic scoped-stack peak / stripe pixels). The retinex kernel keeps
+    ~9-10 f32 planes live through the bilateral stage (~37 B/px measured on
+    a v5e at 4K width: an 18.06 MB scoped peak for a 128x3968 stripe), so
+    the f32-kernel default is 40; the curve kernel carries n_iter x 3 map
+    planes on top (see ``fused_enhance.curve_plan_bytes_per_px``). A
+    600x400 LOL image still plans as ONE stripe (no overlap copies)."""
     wp = _round_up(w + 2 * margin, 128)
     budget_rows = _VMEM_STRIPE_BUDGET // (bytes_per_px * wp) - 2 * margin
     cap = max(8, min(max_rows, (budget_rows // 8) * 8))

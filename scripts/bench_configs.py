@@ -243,16 +243,23 @@ def config6_ingest(quick: bool) -> dict:
         decode_rate[str(workers)] = round(n / (time.perf_counter() - t0), 1)
 
     # overlap: decode -> device enhance through the queue; if prefetch hides
-    # decode behind device compute (or vice versa), e2e ~= min path's rate
+    # decode behind device compute (or vice versa), e2e ~= min path's rate.
+    # Dispatch in batches of 8 — per-image dispatch latency through the
+    # tunnel would otherwise dominate and measure the wrong thing.
+    group = 8
     pipe = EnhancePipeline()
-    _sync(pipe.enhance_batch_device(jnp.asarray(lows[:1])))  # compile
+    _sync(pipe.enhance_batch_device(jnp.asarray(lows[:group])))  # compile
     t0 = time.perf_counter()
-    out = None
-    with PrefetchQueue(iter(blobs), depth=4,
-                       transform=lambda b: decode_image(b)[None],
-                       workers=2) as q:
-        for batch in q:
-            out = pipe.enhance_batch_device(batch)
+    out, pend = None, []
+    with PrefetchQueue(iter(blobs), depth=2 * group,
+                       transform=decode_image, workers=1) as q:
+        for img in q:
+            pend.append(img)
+            if len(pend) == group:
+                out = pipe.enhance_batch_device(np.stack(pend))
+                pend.clear()
+    if pend:
+        out = pipe.enhance_batch_device(np.stack(pend))
     _sync(out)
     e2e = n / (time.perf_counter() - t0)
     return {

@@ -35,7 +35,10 @@ import numpy as np
 
 
 def _sync(x) -> None:
-    _ = int(np.asarray(x).ravel()[0])
+    # Fetch ONE element, not the array: a 46 MB batch readback through the
+    # tunnel costs seconds with multi-second variance, which would swamp the
+    # short-vs-long chain marginal this script differences.
+    _ = np.asarray(x[(0,) * getattr(x, "ndim", 0)])
 
 
 def _chain_time(step, x0, n: int) -> float:
@@ -47,7 +50,7 @@ def _chain_time(step, x0, n: int) -> float:
     return time.perf_counter() - t0
 
 
-def _marginal(step, x0, ns=4, nl=20, reps=5) -> float:
+def _marginal(step, x0, ns=4, nl=60, reps=7) -> float:
     """Seconds per iteration, fixed dispatch latency cancelled."""
     _chain_time(step, x0, ns)
     _chain_time(step, x0, nl)
@@ -123,11 +126,13 @@ def main() -> None:
         "transpose_pad_crop": round(us["pipeline"] - us["denoise"], 2),
         "total_pipeline": round(us["pipeline"], 2),
     }
-    # HBM traffic of the memcpy variant, conservatively counting the stripe
-    # extraction copy XLA materializes: (read + write) x2 of 3 u8 canvas
-    # planes per image.
+    # HBM traffic of the memcpy variant: read + write of 3 u8 canvas planes
+    # per image, times the stripe-overlap read amplification of the plan
+    # (1.0 when the whole image is one stripe, as at 600x400).
     canvas_px = plan.padded_h * plan.padded_w
-    bytes_per_img = canvas_px * 3 * 2 * 2
+    amp = (plan.stripe_rows + 2 * plan.margin) / plan.stripe_rows \
+        if plan.n_stripes > 1 else 1.0
+    bytes_per_img = int(canvas_px * 3 * (1 + amp))
     gbps = bytes_per_img / (us["memcpy"] * 1e-6) / 1e9
     result = {
         "metric": "per_stage_device_time",
