@@ -190,17 +190,11 @@ def enhance_learned_block(
             # Fused tail kernel: u8 normalize + (hybrid) boost + n_iter curve
             # iterations + bilateral denoise + u8 quantize in one VMEM-
             # resident pass — the maps are the only remaining f32 HBM read.
-            # With ds in {2, 4} the maps stay at 1/ds rows (cols upsampled in
-            # XLA, rows inside the kernel): ds x less map traffic.
+            # With ds in {2, 4} the maps stay fully low-res (1/ds rows AND
+            # cols, both upsampled inside the kernel): ds^2 x less map
+            # traffic and no XLA upsample pass at all.
             if ds in (2, 4):
-                from low_light_image_enhancement_tpu.ops.filters import (
-                    shift2d,
-                    upsample_int,
-                )
-
                 maps_lo = _curve_maps_lowres(cnn_in, cfg, model_params)
-                maps_lo = upsample_int(maps_lo, ds, axis=-1,
-                                       shift_fn=shift2d)
                 return _fused_curve_tail(xb, maps_lo, cfg, halo, rows,
                                          interpret, ds=ds)
             return _fused_curve_tail(
@@ -280,12 +274,13 @@ def _fused_curve_tail(
     (kernels.fused_enhance.fused_curve_enhance); u8 or f32 in/out.
 
     ``ds`` == 1: ``maps`` is (B, it, 3, HB, WB) full-res. ``ds`` in {2, 4}:
-    ``maps`` is (B, it, 3, HB/ds, WB) — columns already upsampled, rows
-    upsampled inside the kernel. Alignment invariants (all guaranteed by
-    ``learned_halo``'s 8*ds granule, MARGIN=4 and 8-multiple stripe rows):
-    halo, MARGIN, stripe offsets and padded_h are divisible by ds, so the
-    stripe-local row phase equals the block row phase and the kernel's
-    upsample reproduces the reference's floats exactly on consumed rows."""
+    ``maps`` is (B, it, 3, HB/ds, WB/ds) fully low-res — both axes upsampled
+    inside the kernel. Alignment invariants (all guaranteed by
+    ``learned_halo``'s 8*ds granule, MARGIN=4, 8-multiple stripe rows and
+    128-multiple padded width): halo, MARGIN, stripe offsets, padded_h and
+    padded_w are divisible by ds, so the stripe-local phase equals the block
+    phase on both axes and the kernel's upsample reproduces the reference's
+    floats exactly on consumed pixels."""
     from low_light_image_enhancement_tpu.kernels.fused_enhance import (
         curve_plan_bytes_per_px,
         fused_curve_enhance,

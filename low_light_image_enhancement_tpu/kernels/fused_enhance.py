@@ -83,20 +83,30 @@ def _curve_kernel(
     LE-curve iterations from the CNN's parameter maps -> bilateral denoise ->
     u8 quantize. Math mirrors ``blocks.enhance_learned_block`` tap-for-tap;
     the curve maps arrive as a second stripe input (the only f32 HBM traffic
-    left on the curve path). With ``ds`` in {2, 4} the maps come in at 1/ds
-    rows and are row-upsampled here with the upsample of record
-    (``ops.filters.upsample_int`` + roll shifts) — ds x less map traffic.
-    The phase-blend plane is hoisted out of the per-channel loop (it only
-    depends on the row index mod ds)."""
+    left on the curve path). With ``ds`` in {2, 4} the maps come in fully
+    low-res (1/ds rows AND cols) and are upsampled here with the upsample of
+    record (``ops.filters.upsample_int`` + roll shifts), cols first at 1/ds
+    rows, then rows — ds^2 x less map traffic, and the XLA column-upsample
+    pass (measured 178 us/img at 600x400 ds=4) disappears entirely. The
+    phase-blend planes are hoisted out of the per-channel loop (they only
+    depend on the index mod ds). Roll-wrap vs the reference's clamp shifts
+    differs only within ds/2 <= margin rows/cols of the stripe edge, which
+    the crop discards — bit-exact on consumed pixels."""
     from low_light_image_enhancement_tpu.ops.filters import upsample_phase
 
     raw = x_ref[0, 0]   # (3, THh, Wp)
-    maps = m_ref[0, 0]  # (n_iter*3, THh/ds, Wp) f32
+    maps = m_ref[0, 0]  # (n_iter*3, THh/ds, Wp/ds) f32
     if u8_io:
         x = raw.astype(jnp.int32).astype(jnp.float32) * (1.0 / 255.0)
     else:
         x = raw
     if ds > 1:
+        lo_rows = maps.shape[-2]
+        # Column-upsample phase plane, in TRANSPOSED orientation: Mosaic has
+        # no lane-interleave (jnp.repeat on the lane axis fails to lower), so
+        # columns are upsampled as sublanes between two exact swapaxes.
+        f_up_c = upsample_phase((raw.shape[-1], lo_rows), ds, 0, jnp.float32)
+        f_com_c = 1.0 - f_up_c
         f_up = upsample_phase(raw.shape[-2:], ds, 0, jnp.float32)
         f_com = 1.0 - f_up
         half = ds // 2
@@ -111,8 +121,15 @@ def _curve_kernel(
         for i in range(n_iter):  # static unroll, as ops.curves.apply_curves
             a = maps[i * 3 + c]
             if ds > 1:
-                rep = jnp.repeat(a, ds, axis=0)
-                # same float ops as upsample_int: lo*(1-f) + hi*f
+                # same float ops and order as blocks._curve_maps: cols
+                # (at 1/ds rows) then rows, each lo*(1-f) + hi*f. The col
+                # pass runs transposed (cols as sublanes) since Mosaic
+                # supports sublane interleave + swapaxes but not lane
+                # interleave; swapaxes is exact, so parity is untouched.
+                rep = jnp.repeat(jnp.swapaxes(a, 0, 1), ds, axis=0)
+                at = kroll2d(rep, half, 0) * f_com_c \
+                    + kroll2d(rep, -half, 0) * f_up_c
+                rep = jnp.repeat(jnp.swapaxes(at, 0, 1), ds, axis=0)
                 a = kroll2d(rep, half, 0) * f_com \
                     + kroll2d(rep, -half, 0) * f_up
             y = y + a * y * (1.0 - y)
@@ -141,9 +158,9 @@ def fused_curve_enhance(
       curve_maps: f32 LE-curve maps on the same canvas (from
         ``models.apply_curve_cnn`` / ``blocks._curve_maps``): ``ds`` == 1 —
         (B, n_iter, 3, Hp, Wp) full-res; ``ds`` in {2, 4} — (B, n_iter, 3,
-        Hp/ds, Wp) column-upsampled, rows upsampled in-kernel. Hp, the
-        stripe rows and the margin must all divide by ds (the pipeline's
-        8-multiples guarantee it).
+        Hp/ds, Wp/ds) fully low-res, both axes upsampled in-kernel. Hp, Wp,
+        the stripe rows and the margin must all divide by ds (the pipeline's
+        8-multiples and the 128-lane width rounding guarantee it).
       plan: stripe plan for (Hp, Wp) — use ``bytes_per_px`` sized for the
         map planes (see ``curve_plan_bytes_per_px``).
 
@@ -165,7 +182,7 @@ def fused_curve_enhance(
             )
         lo_plan = StripePlan(
             plan.n_stripes, plan.stripe_rows // ds, plan.padded_h // ds,
-            plan.padded_w, plan.margin // ds,
+            plan.padded_w // ds, plan.margin // ds,
         )
     m_stripes = jnp.transpose(extract_stripes(maps_flat, lo_plan),
                               (0, 2, 1, 3, 4))
