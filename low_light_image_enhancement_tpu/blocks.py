@@ -249,14 +249,16 @@ def enhance_learned_block(
             sub = jnp.pad(sub, ((0, 0),) * (sub.ndim - 2)
                           + ((0, extra), (0, 0)), mode="edge")
         out = tiled_denoise(sub, cfg.denoise_sigma, cfg.denoise_strength,
-                            plan, interpret=interpret)[..., :rows, :]
+                            plan, interpret=interpret,
+                            kind=cfg.denoise_kernel)[..., :rows, :]
         return quantize_u8(out) if u8_io else out
 
     from low_light_image_enhancement_tpu.ops.denoise import bilateral_core
     from low_light_image_enhancement_tpu.ops.filters import roll2d
 
     inv2s2 = 1.0 / (2.0 * cfg.denoise_sigma * cfg.denoise_sigma)
-    y = bilateral_core(y, inv2s2, cfg.denoise_strength, roll2d)
+    y = bilateral_core(y, inv2s2, cfg.denoise_strength, roll2d,
+                       cfg.denoise_kernel)
     out = jnp.clip(y, 0.0, 1.0)[..., halo : halo + rows, :]
     return quantize_u8(out) if u8_io else out
 

@@ -42,6 +42,11 @@ class PipelineConfig:
     # --- denoise -------------------------------------------------------------
     denoise_strength: float = 0.5   # 0 disables; blend factor toward filtered
     denoise_sigma: float = 0.12     # range sigma of the bilateral-lite filter
+    denoise_kernel: str = "exp"     # range weight: "exp" (classic Gaussian
+                                    # bilateral, the default) or "epan"
+                                    # (squared Epanechnikov, transcendental-
+                                    # free — measured perf-neutral on TPU;
+                                    # see ops/denoise.py)
 
     # --- curve CNN -----------------------------------------------------------
     curve_iters: int = 8         # LE-curve iterations (Zero-DCE uses 8)
@@ -77,6 +82,13 @@ class PipelineConfig:
             raise ValueError("denoise_strength must be in [0, 1]")
         if self.denoise_strength > 0.0 and self.denoise_sigma <= 0:
             raise ValueError("denoise_sigma must be > 0")
+        from low_light_image_enhancement_tpu.ops.denoise import RANGE_KERNELS
+
+        if self.denoise_kernel not in RANGE_KERNELS:
+            raise ValueError(
+                f"denoise_kernel must be one of {RANGE_KERNELS}: "
+                f"{self.denoise_kernel!r}"
+            )
         if self.curve_downsample not in (1, 2, 4, 8):
             raise ValueError(
                 "curve_downsample must be 1, 2, 4 or 8 (the integer-factor "

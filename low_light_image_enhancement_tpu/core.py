@@ -65,5 +65,6 @@ def enhance_core_padded(
         x = jnp.clip(apply_curves(x, curve_maps), 0.0, 1.0)
     if do_denoise and cfg.denoise_strength > 0.0:
         inv2s2 = 1.0 / (2.0 * cfg.denoise_sigma * cfg.denoise_sigma)
-        x = bilateral_core(x, inv2s2, cfg.denoise_strength, roll2d)
+        x = bilateral_core(x, inv2s2, cfg.denoise_strength, roll2d,
+                           cfg.denoise_kernel)
     return jnp.clip(x, 0.0, 1.0)

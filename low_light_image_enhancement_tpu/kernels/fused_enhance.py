@@ -43,7 +43,7 @@ def kroll2d(x: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
 
 def _retinex_kernel(
     x_ref, o_ref, *, radius, sigma, gamma, eps, inv2s2, strength, margin, th,
-    u8_io, stages=("blur", "boost", "denoise"),
+    u8_io, dn_kind="exp", stages=("blur", "boost", "denoise"),
 ):
     """``stages`` gates the pipeline's compute stages so the per-stage
     device-time tool (scripts/profile_stages.py) can compile truncated
@@ -66,7 +66,7 @@ def _retinex_kernel(
     for c in range(3):  # per-plane 2-D ops keep Mosaic layouts simple
         y = x[c] if boost is None else jnp.clip(x[c] * boost, 0.0, 1.0)
         if strength > 0.0 and "denoise" in stages:
-            y = bilateral_core(y, inv2s2, strength, kroll2d)
+            y = bilateral_core(y, inv2s2, strength, kroll2d, dn_kind)
         y = jnp.clip(y, 0.0, 1.0)[margin : margin + th, :]
         if u8_io:
             y = jnp.clip(jnp.round(y * 255.0), 0.0, 255.0)
@@ -76,7 +76,7 @@ def _retinex_kernel(
 
 def _curve_kernel(
     x_ref, m_ref, o_ref, *, boost, n_iter, radius, sigma, gamma, eps, inv2s2,
-    strength, margin, th, u8_io, ds,
+    strength, margin, th, u8_io, ds, dn_kind="exp",
 ):
     """Fused learned tail (BASELINE.json north_star conv-net fusion, tail
     half): u8 normalize -> optional retinex boost (hybrid) -> ``n_iter``
@@ -135,7 +135,7 @@ def _curve_kernel(
             y = y + a * y * (1.0 - y)
         y = jnp.clip(y, 0.0, 1.0)
         if strength > 0.0:
-            y = bilateral_core(y, inv2s2, strength, kroll2d)
+            y = bilateral_core(y, inv2s2, strength, kroll2d, dn_kind)
         y = jnp.clip(y, 0.0, 1.0)[margin : margin + th, :]
         if u8_io:
             y = jnp.clip(jnp.round(y * 255.0), 0.0, 255.0)
@@ -200,6 +200,7 @@ def fused_curve_enhance(
         th=plan.stripe_rows,
         u8_io=u8_io,
         ds=ds,
+        dn_kind=cfg.denoise_kernel,
     )
     out = stripe_pallas_call(kernel, [x_stripes, m_stripes], plan, xp.dtype,
                              interpret=interpret)
@@ -254,6 +255,7 @@ def fused_retinex(
         margin=plan.margin,
         th=plan.stripe_rows,
         u8_io=u8_io,
+        dn_kind=cfg.denoise_kernel,
         stages=tuple(stages),
     )
     out = stripe_pallas_call(kernel, stripes, plan, xp.dtype,

@@ -66,7 +66,8 @@ def _shift_interleaved(x, dy, dx):
 
 
 def _retinex_hwc_kernel(
-    x_ref, o_ref, *, radius, sigma, gamma, eps, inv2s2, strength, margin, th
+    x_ref, o_ref, *, radius, sigma, gamma, eps, inv2s2, strength, margin,
+    th, dn_kind="exp"
 ):
     raw = x_ref[0, 0]  # (THh, 3*Wp) u8 interleaved
     x = raw.astype(jnp.int32).astype(jnp.float32) * (1.0 / 255.0)
@@ -88,7 +89,7 @@ def _retinex_hwc_kernel(
     boost = jnp.exp((gamma - 1.0) * jnp.log(l))
     y = jnp.clip(x * boost, 0.0, 1.0)
     if strength > 0.0:
-        y = bilateral_core(y, inv2s2, strength, _shift_interleaved)
+        y = bilateral_core(y, inv2s2, strength, _shift_interleaved, dn_kind)
     y = jnp.clip(y, 0.0, 1.0)[margin : margin + th, :]
     o_ref[0, 0] = jnp.clip(jnp.round(y * 255.0), 0.0, 255.0).astype(
         jnp.int32
@@ -125,6 +126,7 @@ def fused_retinex_hwc(
         eps=cfg.illum_eps,
         inv2s2=1.0 / (2.0 * cfg.denoise_sigma * cfg.denoise_sigma),
         strength=cfg.denoise_strength,
+        dn_kind=cfg.denoise_kernel,
         margin=plan.margin,
         th=plan.stripe_rows,
     )

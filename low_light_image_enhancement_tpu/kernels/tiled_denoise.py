@@ -22,10 +22,11 @@ from low_light_image_enhancement_tpu.kernels.fused_enhance import kroll2d
 from low_light_image_enhancement_tpu.ops.denoise import bilateral_core
 
 
-def _denoise_kernel(x_ref, o_ref, *, inv2s2, strength, margin, th):
+def _denoise_kernel(x_ref, o_ref, *, inv2s2, strength, margin, th,
+                    dn_kind="exp"):
     x = x_ref[0, 0]  # (3, THh, Wp)
     for c in range(3):
-        y = bilateral_core(x[c], inv2s2, strength, kroll2d)
+        y = bilateral_core(x[c], inv2s2, strength, kroll2d, dn_kind)
         o_ref[0, 0, c] = jnp.clip(y, 0.0, 1.0)[margin : margin + th, :]
 
 
@@ -35,6 +36,7 @@ def tiled_denoise(
     strength: float,
     plan: StripePlan,
     interpret: bool = False,
+    kind: str = "exp",
 ) -> jnp.ndarray:
     """(B, 3, Hp, Wp) padded canvas -> (B, 3, S*TH, Wp) denoised rows
     [margin, margin + S*TH); caller crops columns."""
@@ -43,6 +45,7 @@ def tiled_denoise(
     kernel = functools.partial(
         _denoise_kernel,
         inv2s2=1.0 / (2.0 * sigma_range * sigma_range),
+        dn_kind=kind,
         strength=strength,
         margin=plan.margin,
         th=plan.stripe_rows,

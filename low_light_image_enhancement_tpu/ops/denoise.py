@@ -1,9 +1,21 @@
 """Bilateral-lite 3x3 denoise expressed as 9 shifted taps.
 
-Spatial weights are the separable [1/4, 1/2, 1/4] binomial; range weights are
-a Gaussian on per-channel value difference. The structure (9 static shifts,
-fixed accumulation order) is mirrored exactly by the fused Pallas kernel,
-which calls ``bilateral_core`` with a ``pltpu.roll``-based shift function.
+Spatial weights are the separable [1/4, 1/2, 1/4] binomial; range weights
+are a decreasing function of the per-channel value difference, selectable:
+
+* ``"exp"``  — Gaussian ``exp(-d^2 / 2 sigma^2)`` (the classic bilateral,
+  the default).
+* ``"epan"`` — squared Epanechnikov ``max(0, 1 - d^2 / 6 sigma^2)^2``: same
+  sigma scale and monotone shape, ~4 cheap VPU ops instead of a
+  transcendental. **Measured perf-neutral on TPU** (19.0 vs 19.4 us/img for
+  the fused kernel's denoise stage at 600x400): the bilateral's cost is the
+  27 shifted taps' roll+FMA chains, not the exp — Mosaic's vectorized exp
+  is effectively free behind them. Kept as a documented negative result and
+  a cheaper option for backends where transcendentals do dominate.
+
+The structure (9 static shifts, fixed accumulation order) is mirrored
+exactly by the fused Pallas kernel, which calls ``bilateral_core`` with a
+``pltpu.roll``-based shift function.
 
 Spec: BASELINE.json north_star ("fused denoise") and config 5 per-shard
 denoise (BASELINE.json:11).
@@ -17,12 +29,27 @@ from low_light_image_enhancement_tpu.ops.filters import roll2d, shift2d
 
 _SPATIAL_1D = (0.25, 0.5, 0.25)
 
+RANGE_KERNELS = ("exp", "epan")
 
-def bilateral_core(x, inv2s2, strength, shift_fn):
+
+def _range_weight(d2, inv2s2, kind: str):
+    if kind == "exp":
+        return jnp.exp(-d2 * inv2s2)
+    if kind == "epan":
+        # (1 - t/3)^2 tracks exp(-t) closely on t in [0, 3] (0.44 vs 0.37
+        # at t=1, 0.11 vs 0.14 at t=2) and cuts off where the Gaussian is
+        # ~0.05 — near-identical smoothing at ~1/4 the VPU cost of exp.
+        u = jnp.maximum(1.0 - d2 * (inv2s2 * (1.0 / 3.0)), 0.0)
+        return u * u
+    raise ValueError(f"range kernel must be one of {RANGE_KERNELS}: {kind!r}")
+
+
+def bilateral_core(x, inv2s2, strength, shift_fn, kind: str = "exp"):
     """3x3 bilateral filter as 9 shifted taps over the last two axes.
 
     ``shift_fn(x, dy, dx)`` supplies boundary semantics; the Pallas kernel
     passes a roll-based shift, the public op passes edge-replicate.
+    ``kind`` selects the range weight (module docstring).
     """
     acc = jnp.zeros_like(x)
     wacc = jnp.zeros_like(x)
@@ -30,8 +57,8 @@ def bilateral_core(x, inv2s2, strength, shift_fn):
         for dj in (-1, 0, 1):
             s = shift_fn(x, di, dj)
             d = s - x
-            w = (_SPATIAL_1D[di + 1] * _SPATIAL_1D[dj + 1]) * jnp.exp(
-                -(d * d) * inv2s2
+            w = (_SPATIAL_1D[di + 1] * _SPATIAL_1D[dj + 1]) * _range_weight(
+                d * d, inv2s2, kind
             )
             acc = acc + w * s
             wacc = wacc + w
@@ -44,15 +71,17 @@ def bilateral_denoise(
     sigma_range: float = 0.12,
     strength: float = 0.5,
     mode: str = "clamp",
+    kind: str = "exp",
 ) -> jnp.ndarray:
     """Edge-preserving 3x3 filter over the last two axes, blended by
     ``strength`` (0 = passthrough). Works on any planar layout.
 
     mode="clamp": edge-replicate boundary (public-op semantics).
     mode="wrap":  circular boundary for pre-padded inputs (pipeline core).
+    kind: range-weight kernel, "exp" or "epan" (module docstring).
     """
     if strength == 0.0:
         return x
     shift_fn = shift2d if mode == "clamp" else roll2d
     inv2s2 = 1.0 / (2.0 * sigma_range * sigma_range)
-    return bilateral_core(x, inv2s2, strength, shift_fn)
+    return bilateral_core(x, inv2s2, strength, shift_fn, kind)

@@ -72,7 +72,8 @@ def _enhance_u8_batch(
             from low_light_image_enhancement_tpu.ops.filters import roll2d
 
             inv2s2 = 1.0 / (2.0 * cfg.denoise_sigma * cfg.denoise_sigma)
-            yp = bilateral_core(yp, inv2s2, cfg.denoise_strength, roll2d)
+            yp = bilateral_core(yp, inv2s2, cfg.denoise_strength, roll2d,
+                                cfg.denoise_kernel)
         y = jnp.clip(yp, 0.0, 1.0)[:, :, m : m + h, m : m + w]
         return jnp.transpose(quantize_u8(y), (0, 2, 3, 1))
 

@@ -50,7 +50,8 @@ def test_core_padded_equals_public_ops_interior():
     want = np.asarray(
         jnp.clip(
             bilateral_denoise(
-                want_boost, cfg.denoise_sigma, cfg.denoise_strength, mode="clamp"
+                want_boost, cfg.denoise_sigma, cfg.denoise_strength,
+                mode="clamp", kind=cfg.denoise_kernel,
             ),
             0.0, 1.0,
         )

@@ -66,7 +66,7 @@ def test_tiled_denoise_parity_interpret():
     xp, plan = _padded_input(1, 48, 80, cfg, seed=2)
     got = np.asarray(
         tiled_denoise(xp, cfg.denoise_sigma, cfg.denoise_strength, plan,
-                      interpret=True)
+                      interpret=True, kind=cfg.denoise_kernel)
     )
     want_full = np.asarray(
         enhance_core_padded(xp, cfg.replace(method="curve", gamma=1.0),

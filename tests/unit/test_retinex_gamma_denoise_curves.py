@@ -96,6 +96,36 @@ def test_denoise_reduces_noise_keeps_edges():
     assert edge > 0.8 * 0.85
 
 
+def test_denoise_epan_kind_close_to_exp():
+    """The squared-Epanechnikov range weight tracks the Gaussian closely:
+    same sigma scale, near-identical smoothing (measured perf-neutral on
+    TPU — ops/denoise.py module docstring)."""
+    x = _rand_rgb(7)
+    y_exp = np.asarray(bilateral_denoise(x, strength=1.0, kind="exp"))
+    y_epa = np.asarray(bilateral_denoise(x, strength=1.0, kind="epan"))
+    assert not np.array_equal(y_exp, y_epa)  # genuinely different weights
+    assert np.abs(y_exp - y_epa).max() < 0.03  # but near-identical output
+
+
+def test_denoise_epan_preserves_constant_and_rejects_unknown():
+    import pytest
+
+    x = jnp.full((3, 12, 16), 0.4, jnp.float32)
+    y = np.asarray(bilateral_denoise(x, strength=1.0, kind="epan"))
+    np.testing.assert_allclose(y, 0.4, atol=1e-6)
+    with pytest.raises(ValueError, match="range kernel"):
+        bilateral_denoise(x, strength=1.0, kind="gauss")
+
+
+def test_config_rejects_unknown_denoise_kernel():
+    import pytest
+
+    from low_light_image_enhancement_tpu.config import PipelineConfig
+
+    with pytest.raises(ValueError, match="denoise_kernel"):
+        PipelineConfig(denoise_kernel="nope")
+
+
 # ----------------------------------------------------------------- curves ---
 
 def test_curves_zero_alpha_identity():
