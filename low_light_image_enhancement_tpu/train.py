@@ -93,6 +93,9 @@ class TrainConfig:
     w_color: float = 5.0
     w_spatial: float = 1.0
     w_smooth: float = 200.0
+    # TV weight for the *paired* curve objective (paired_curve_loss): much
+    # weaker than the zero-reference prior — the GT supplies the structure.
+    w_smooth_paired: float = 20.0
     exposure_level: float = 0.6
     log_every: int = 50
     checkpoint_every: int = 500
@@ -405,6 +408,41 @@ def make_supervised_train_step(
 ) -> Callable:
     """Supervised FCN step: ``step(params, opt_state, low, high)``."""
     return _make_step(paired_loss, 2, tcfg, mesh)
+
+
+def paired_curve_loss(
+    params, low: jnp.ndarray, high: jnp.ndarray, tcfg: "TrainConfig",
+    w_ssim: float = 0.5,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Supervised counterpart of ``zero_reference_loss`` for the curve CNN:
+    L1 + (1 − SSIM) between the curve-enhanced output and the paired ground
+    truth, plus a weak TV prior on the maps (``w_smooth_paired``). The
+    zero-reference recipe remains the config-3 training path; this objective
+    exists because paired data (synthetic or LOL) trains far more faithful
+    curves — the shipped weights use it (docs/PERFORMANCE.md quality table).
+    """
+    from low_light_image_enhancement_tpu.eval.metrics import ssim
+
+    cnn = lambda p, x: apply_curve_cnn(
+        p, x, n_iter=tcfg.n_iter,
+        compute_dtype=jnp.dtype(tcfg.compute_dtype),
+    )
+    if tcfg.remat:
+        cnn = jax.checkpoint(cnn)
+    a = cnn(params, low)
+    y = jnp.clip(apply_curves(low, a), 0.0, 1.0)
+    l1 = jnp.mean(jnp.abs(y - high))
+    s = jnp.mean(ssim(y, high))
+    l_tv = smoothness_loss(a)
+    total = l1 + w_ssim * (1.0 - s) + tcfg.w_smooth_paired * l_tv
+    return total, {"loss": total, "l1": l1, "ssim": s, "smooth": l_tv}
+
+
+def make_paired_curve_train_step(
+    tcfg: "TrainConfig", mesh: Optional[Mesh] = None
+) -> Callable:
+    """Supervised curve step: ``step(params, opt_state, low, high)``."""
+    return _make_step(paired_curve_loss, 2, tcfg, mesh)
 
 
 def train_fcn(

@@ -27,10 +27,13 @@ WEIGHTS_DIR = (
 
 
 def train_curve(steps: int, batch: int, crop: int,
-                hybrid: bool = False) -> dict:
-    """Zero-reference curve training. ``hybrid=True`` trains on
-    retinex-boosted inputs (matching the hybrid pipeline, where curves
-    adjust the boosted image) and writes curve_hybrid.npz."""
+                hybrid: bool = False, objective: str = "paired") -> dict:
+    """Curve-CNN training. ``hybrid=True`` trains on retinex-boosted inputs
+    (matching the hybrid pipeline, where curves adjust the boosted image)
+    and writes curve_hybrid.npz.
+
+    ``objective``: "paired" (L1+SSIM vs the synthetic GT — the shipped-
+    weights recipe) or "zeroref" (the Zero-DCE config-3 recipe, no GT)."""
     import jax as _jax
 
     from low_light_image_enhancement_tpu.config import PipelineConfig
@@ -40,31 +43,36 @@ def train_curve(steps: int, batch: int, crop: int,
     from low_light_image_enhancement_tpu.train import (
         TrainConfig,
         init_train_state,
+        make_paired_curve_train_step,
         make_train_step,
     )
 
     tcfg = TrainConfig(batch_size=batch, crop=crop, steps=steps)
     params, opt_state = init_train_state(tcfg, seed=0)
-    step = make_train_step(tcfg)
+    paired = objective == "paired"
+    step = (make_paired_curve_train_step if paired else make_train_step)(tcfg)
     data = synth_batch_iter(batch, crop, crop, seed=0)
     boost = _jax.jit(lambda v: illumination_boost(v, PipelineConfig()))
     name = "hybrid" if hybrid else "curve"
     t0 = time.time()
     first = last = None
     for i in range(steps):
-        low, _ = next(data)
+        low, high = next(data)
         if hybrid:
             low = boost(low)
-        params, opt_state, m = step(params, opt_state, low)
+        args = (low, high) if paired else (low,)
+        params, opt_state, m = step(params, opt_state, *args)
         if i == 0:
             first = float(m["loss"])
         if (i + 1) % 200 == 0 or i == steps - 1:
             last = float(m["loss"])
-            print(f"{name} step {i+1}/{steps} loss {last:.4f} "
+            extra = f" ssim {float(m['ssim']):.4f}" if paired else ""
+            print(f"{name} step {i+1}/{steps} loss {last:.4f}{extra} "
                   f"({batch*(i+1)/(time.time()-t0):.0f} img/s)", flush=True)
     out = "curve_hybrid.npz" if hybrid else "curve_cnn.npz"
     save_params(params, WEIGHTS_DIR / out)
-    return {"model": name, "first_loss": first, "final_loss": last}
+    return {"model": name, "objective": objective,
+            "first_loss": first, "final_loss": last}
 
 
 def train_fcn_weights(steps: int, batch: int, crop: int) -> dict:
@@ -135,13 +143,19 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--crop", type=int, default=256)
     ap.add_argument("--models", nargs="*", default=["curve", "fcn"])
+    ap.add_argument("--objective", default="paired",
+                    choices=("paired", "zeroref"),
+                    help="curve/hybrid training objective (paired = shipped-"
+                         "weights recipe; zeroref = Zero-DCE config-3 recipe)")
     args = ap.parse_args()
     print("backend:", jax.default_backend(), flush=True)
     for model in args.models:
         if model == "curve":
-            print(train_curve(args.steps, args.batch, args.crop), flush=True)
+            print(train_curve(args.steps, args.batch, args.crop,
+                              objective=args.objective), flush=True)
         elif model == "hybrid":
-            print(train_curve(args.steps, args.batch, args.crop, hybrid=True),
+            print(train_curve(args.steps, args.batch, args.crop, hybrid=True,
+                              objective=args.objective),
                   flush=True)
         elif model == "fcn":
             print(train_fcn_weights(args.steps, args.batch, args.crop),
