@@ -184,12 +184,20 @@ def _accumulated_grads(loss_fn, params, tcfg: TrainConfig, *batches):
 
 def _make_step(
     loss_fn: Callable, n_batch_args: int, tcfg: TrainConfig,
-    mesh: Optional[Mesh],
+    mesh: Optional[Mesh], spatial_batch: bool = False,
 ) -> Callable:
     """Generic jitted ``step(params, opt_state, *batch_args)`` for any
     ``loss_fn(params, *batch_args, tcfg) -> (loss, metrics)``. With a mesh,
     batch args are sharded over all mesh axes and params replicated; XLA
-    all-reduces gradients over ICI."""
+    all-reduces gradients over ICI.
+
+    ``spatial_batch=True`` shards the crop ROWS over the mesh's "spatial"
+    axis instead of folding that axis into the batch dimension: the batch
+    (B, 3, H, W) gets spec ("data", None, "spatial", None), and GSPMD
+    inserts the conv halo exchanges and partial-reduction collectives for
+    the pooled losses — true spatially-parallel training, for crops too
+    large to fit one chip's HBM. Crop rows must divide by the spatial axis
+    size."""
     optimizer = make_optimizer(tcfg)
 
     def step(params, opt_state, *batch_args):
@@ -202,7 +210,11 @@ def _make_step(
 
     if mesh is None:
         return jax.jit(step)
-    batch_sharding = NamedSharding(mesh, P(("data", "spatial")))
+    batch_sharding = NamedSharding(
+        mesh,
+        P("data", None, "spatial", None) if spatial_batch
+        else P(("data", "spatial")),
+    )
     replicated = NamedSharding(mesh, P())
     return jax.jit(
         step,
@@ -213,10 +225,11 @@ def _make_step(
 
 
 def make_train_step(
-    tcfg: TrainConfig, mesh: Optional[Mesh] = None
+    tcfg: TrainConfig, mesh: Optional[Mesh] = None,
+    spatial_batch: bool = False,
 ) -> Callable:
     """Zero-reference step: ``step(params, opt_state, batch)``."""
-    return _make_step(zero_reference_loss, 1, tcfg, mesh)
+    return _make_step(zero_reference_loss, 1, tcfg, mesh, spatial_batch)
 
 
 def init_train_state(
@@ -439,10 +452,11 @@ def paired_curve_loss(
 
 
 def make_paired_curve_train_step(
-    tcfg: "TrainConfig", mesh: Optional[Mesh] = None
+    tcfg: "TrainConfig", mesh: Optional[Mesh] = None,
+    spatial_batch: bool = False,
 ) -> Callable:
     """Supervised curve step: ``step(params, opt_state, low, high)``."""
-    return _make_step(paired_curve_loss, 2, tcfg, mesh)
+    return _make_step(paired_curve_loss, 2, tcfg, mesh, spatial_batch)
 
 
 def train_fcn(

@@ -59,3 +59,37 @@ def test_shard_batch_fn_output_matches_and_is_sharded():
     assert len(got.addressable_shards) == 8
     want = jax.jit(lambda v: fn(v, None))(jnp.asarray(lows))
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_spatially_sharded_training_matches_unsharded():
+    """spatial_batch=True shards crop ROWS over the "spatial" axis; GSPMD
+    inserts conv halo exchanges, so one step must reproduce the unsharded
+    step's updated params up to reduction reordering."""
+    from low_light_image_enhancement_tpu.train import (
+        TrainConfig,
+        init_train_state,
+        make_paired_curve_train_step,
+    )
+
+    tcfg = TrainConfig(features=8, n_iter=2, batch_size=2, crop=32, steps=1)
+    rng = np.random.default_rng(0)
+    low = jnp.asarray(rng.random((2, 3, 32, 32), np.float32) * 0.4)
+    high = jnp.clip(low * 2.5, 0.0, 1.0)
+
+    params0, opt0 = init_train_state(tcfg, seed=0)
+    p_ref, _, m_ref = make_paired_curve_train_step(tcfg)(
+        params0, opt0, low, high
+    )
+
+    mesh = make_mesh(n_data=2, n_spatial=4)
+    p_sp, _, m_sp = make_paired_curve_train_step(
+        tcfg, mesh, spatial_batch=True
+    )(params0, opt0, low, high)
+
+    np.testing.assert_allclose(
+        float(m_sp["loss"]), float(m_ref["loss"]), rtol=1e-5
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(p_ref),
+                    jax.tree_util.tree_leaves(p_sp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
