@@ -7,10 +7,19 @@ the serving-side counterpart of the throughput-oriented batch API: callers
 get single-image latency ~= batch latency while the chip stays batched.
 
 Design notes:
-  * a single dispatcher thread owns the device — no cross-thread jit races;
-  * shape bucketing bounds the number of compiled programs;
-  * ``max_batch`` bounds HBM per dispatch, ``max_delay_ms`` bounds queueing
-    latency when traffic is sparse.
+  * a single dispatcher thread owns the device — no cross-thread jit races
+    on the hot path;
+  * shape bucketing bounds the number of compiled programs per image shape,
+    and batch sizes are bucketed too (1, 4, 16, ..., max_batch) so dynamic
+    group sizes don't thrash the jit cache;
+  * ``max_batch`` bounds HBM per dispatch and is enforced PER shape group —
+    one oversized group never starves another;
+  * ``max_delay_ms`` bounds queueing latency when traffic is sparse;
+  * cold shapes compile on a background thread: a first-ever 4K request
+    compiles for ~seconds WITHOUT stalling warm 600x400 traffic (XLA
+    compilation is host-side work; the dispatcher keeps running other
+    groups meanwhile). Requests for the cold shape wait only for their own
+    compile.
 """
 
 from __future__ import annotations
@@ -26,6 +35,8 @@ import numpy as np
 from low_light_image_enhancement_tpu.config import PipelineConfig
 from low_light_image_enhancement_tpu.pipeline import EnhancePipeline
 
+ShapeKey = Tuple[int, int]
+
 
 class EnhanceServer:
     def __init__(
@@ -37,16 +48,32 @@ class EnhanceServer:
         bucket: int = 64,
     ):
         self._pipe = pipeline or EnhancePipeline(config, bucket=bucket)
-        if self._pipe.bucket is None:
+        if getattr(self._pipe, "bucket", None) is None:
             self._pipe.bucket = bucket
         self._bucket = self._pipe.bucket
         self._max_batch = max_batch
         self._max_delay = max_delay_ms / 1000.0
+        # geometric batch buckets bound compiles to O(log max_batch) programs
+        # per shape while wasting <4x padding compute in the worst case
+        self._batch_buckets = []
+        b = 1
+        while b < max_batch:
+            self._batch_buckets.append(b)
+            b *= 4
+        self._batch_buckets.append(max_batch)
         self._q: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
         # serializes submit-vs-close so a request can't slip into the queue
         # after close() drains it (its Future would never resolve)
         self._submit_lock = threading.Lock()
+        # per-shape pending items + arrival time of the oldest pending item
+        self._pending: Dict[ShapeKey, List] = {}
+        self._since: Dict[ShapeKey, float] = {}
+        # warm (compiled) (b_pad, h, w) programs; guarded by _warm_lock
+        # because background compile threads add to it
+        self._warm: set = set()
+        self._compiling: Dict[Tuple[int, int, int], threading.Thread] = {}
+        self._warm_lock = threading.Lock()
         self._thread = threading.Thread(target=self._dispatch, daemon=True)
         self._thread.start()
 
@@ -71,17 +98,10 @@ class EnhanceServer:
     def close(self) -> None:
         with self._submit_lock:
             self._stop.set()
-        # Join without a timeout: a first-request XLA compile inside
-        # _run_group can exceed any fixed bound, and draining the queue while
-        # the dispatcher still runs would double-resolve its futures.
+        # Join without a timeout: the dispatcher drains every pending and
+        # queued request (compiling synchronously if it must) before exiting,
+        # so no Future is left unresolved and none is double-resolved.
         self._thread.join()
-        # fail any stragglers
-        try:
-            while True:
-                _, fut = self._q.get_nowait()
-                fut.set_exception(RuntimeError("server closed"))
-        except queue.Empty:
-            pass
 
     def __enter__(self):
         return self
@@ -91,34 +111,98 @@ class EnhanceServer:
 
     # ---------------------------------------------------------- dispatch #
 
-    def _key(self, img: np.ndarray) -> Tuple[int, int]:
+    def _key(self, img: np.ndarray) -> ShapeKey:
         g = self._bucket
         h, w, _ = img.shape
         return (-(-h // g) * g, -(-w // g) * g)
 
+    def _b_pad(self, n: int) -> int:
+        for b in self._batch_buckets:
+            if b >= n:
+                return b
+        return self._max_batch
+
+    def _add(self, item) -> None:
+        key = self._key(item[0])
+        if key not in self._pending or not self._pending[key]:
+            self._since[key] = time.monotonic()
+        self._pending.setdefault(key, []).append(item)
+
+    def _warm_key(self, n: int, key: ShapeKey) -> Tuple[int, int, int]:
+        return (self._b_pad(n), key[0], key[1])
+
+    def _compile(self, wkey: Tuple[int, int, int]) -> None:
+        """Background warm-up of one (b_pad, h, w) program. Errors are
+        swallowed here — the dispatch that uses the program reports them on
+        the affected futures."""
+        b, h, w = wkey
+        try:
+            self._pipe.warmup([(b, h, w)])
+        except Exception:
+            pass
+        with self._warm_lock:
+            # mark warm even on error: dispatch must proceed to surface the
+            # real exception on the requests' futures instead of retrying
+            # the compile forever
+            self._warm.add(wkey)
+            self._compiling.pop(wkey, None)
+
+    def _ensure_warm(self, wkey: Tuple[int, int, int]) -> bool:
+        """True when the program is ready; kicks off a background compile
+        otherwise."""
+        with self._warm_lock:
+            if wkey in self._warm:
+                return True
+            if wkey not in self._compiling:
+                t = threading.Thread(
+                    target=self._compile, args=(wkey,), daemon=True
+                )
+                self._compiling[wkey] = t
+                t.start()
+            return False
+
+    def _have_work(self) -> bool:
+        return any(self._pending.values()) or not self._q.empty()
+
     def _dispatch(self) -> None:
-        while not self._stop.is_set():
+        while not self._stop.is_set() or self._have_work():
+            # pull new arrivals (block briefly only when nothing is pending)
+            timeout = 0.002 if any(self._pending.values()) else 0.05
             try:
-                first = self._q.get(timeout=0.05)
+                self._add(self._q.get(timeout=timeout))
+                while True:
+                    self._add(self._q.get_nowait())
             except queue.Empty:
-                continue
-            groups: Dict[Tuple[int, int], List] = {}
-            groups.setdefault(self._key(first[0]), []).append(first)
-            deadline = self._max_delay
-            t0 = time.monotonic()
-            n = 1
-            while n < self._max_batch:
-                remaining = deadline - (time.monotonic() - t0)
-                if remaining <= 0:
-                    break
-                try:
-                    item = self._q.get(timeout=remaining)
-                except queue.Empty:
-                    break
-                groups.setdefault(self._key(item[0]), []).append(item)
-                n += 1
-            for (hb, wb), items in groups.items():
-                self._run_group(hb, wb, items)
+                pass
+            closing = self._stop.is_set()
+            now = time.monotonic()
+            for key in list(self._pending):
+                items = self._pending[key]
+                if not items:
+                    continue
+                full = len(items) >= self._max_batch
+                due = now - self._since[key] >= self._max_delay
+                if not (full or due or closing):
+                    continue
+                n = min(len(items), self._max_batch)
+                wkey = self._warm_key(n, key)
+                if not self._ensure_warm(wkey) and not closing:
+                    # cold shape: its compile runs in the background; fall
+                    # back to the largest already-warm batch bucket so this
+                    # group still progresses, and let other groups dispatch
+                    with self._warm_lock:
+                        ready = [
+                            b for b in self._batch_buckets
+                            if b <= n and (b, *key) in self._warm
+                        ]
+                    if not ready:
+                        continue
+                    n = ready[-1]
+                take, rest = items[:n], items[n:]
+                self._pending[key] = rest
+                if rest:
+                    self._since[key] = now
+                self._run_group(key[0], key[1], take)
 
     def _run_group(self, hb: int, wb: int, items: List) -> None:
         try:
@@ -130,10 +214,16 @@ class EnhanceServer:
                 )
                 for img, _ in items
             ])
+            b_pad = self._b_pad(len(items))
+            if b_pad > len(items):
+                # replicate the last image up to the batch bucket so batch
+                # sizes hit a bounded set of compiled programs
+                padded = np.concatenate(
+                    [padded,
+                     np.repeat(padded[-1:], b_pad - len(items), axis=0)]
+                )
             # bucket-padding already applied; call the exact-shape path
-            out = np.asarray(
-                self._pipe.enhance_batch_device(padded)
-            )
+            out = np.asarray(self._pipe.enhance_batch_device(padded))
             for (img, fut), res in zip(items, out):
                 h, w, _ = img.shape
                 if not fut.done():
