@@ -221,7 +221,7 @@ def enhance_learned_block(
         r, l = apply_decom_net(
             model_params, cnn_in, compute_dtype=jnp.dtype(cfg.compute_dtype)
         )
-        l_boost = jnp.clip(l, cfg.illum_eps, 1.0) ** cfg.gamma
+        l_boost = jnp.clip(l, cfg.illum_eps, 1.0) ** cfg.decom_gamma
         y = jnp.clip(r * l_boost, 0.0, 1.0)
     else:
         raise ValueError(
@@ -242,7 +242,10 @@ def enhance_learned_block(
         )
 
         wb = xb.shape[-1]
-        plan = plan_stripes(rows, wb - 2 * MARGIN, MARGIN, cfg.stripe_rows)
+        # luma guide holds 3 channels + guide + accumulators live at once
+        dn_bpp = 72 if cfg.denoise_guide == "luma" else 40
+        plan = plan_stripes(rows, wb - 2 * MARGIN, MARGIN, cfg.stripe_rows,
+                            bytes_per_px=dn_bpp)
         sub = y[..., halo - MARGIN : halo + rows + MARGIN, :]
         extra = plan.padded_h - (rows + 2 * MARGIN)
         if extra:
@@ -250,15 +253,16 @@ def enhance_learned_block(
                           + ((0, extra), (0, 0)), mode="edge")
         out = tiled_denoise(sub, cfg.denoise_sigma, cfg.denoise_strength,
                             plan, interpret=interpret,
-                            kind=cfg.denoise_kernel)[..., :rows, :]
+                            kind=cfg.denoise_kernel,
+                            guide=cfg.denoise_guide)[..., :rows, :]
         return quantize_u8(out) if u8_io else out
 
-    from low_light_image_enhancement_tpu.ops.denoise import bilateral_core
+    from low_light_image_enhancement_tpu.ops.denoise import denoise_planar
     from low_light_image_enhancement_tpu.ops.filters import roll2d
 
     inv2s2 = 1.0 / (2.0 * cfg.denoise_sigma * cfg.denoise_sigma)
-    y = bilateral_core(y, inv2s2, cfg.denoise_strength, roll2d,
-                       cfg.denoise_kernel)
+    y = denoise_planar(y, inv2s2, cfg.denoise_strength, roll2d,
+                       cfg.denoise_kernel, cfg.denoise_guide)
     out = jnp.clip(y, 0.0, 1.0)[..., halo : halo + rows, :]
     return quantize_u8(out) if u8_io else out
 
@@ -295,7 +299,8 @@ def _fused_curve_tail(
     wb = xb.shape[-1]
     plan = plan_stripes(
         rows, wb - 2 * MARGIN, MARGIN, cfg.stripe_rows,
-        bytes_per_px=curve_plan_bytes_per_px(cfg.curve_iters, ds),
+        bytes_per_px=curve_plan_bytes_per_px(cfg.curve_iters, ds,
+                                             cfg.denoise_guide),
     )
     sub = xb[..., halo - MARGIN : halo + rows + MARGIN, :]
     extra = plan.padded_h - (rows + 2 * MARGIN)

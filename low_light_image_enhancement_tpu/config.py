@@ -35,6 +35,12 @@ class PipelineConfig:
 
     # --- retinex / gamma -----------------------------------------------------
     gamma: float = 0.45          # illumination brightening exponent (<1 brightens)
+    decom_gamma: float = 0.08    # decom method's illumination exponent in
+                                 # y = R * L**decom_gamma. The equal-R loss
+                                 # pins R near the well-lit reflectance, so a
+                                 # much flatter L than retinex's boost is
+                                 # optimal (eval sweep: 0.08 -> 19.4 dB/0.613
+                                 # SSIM vs 10.4 dB at the retinex gamma)
     illum_eps: float = 1e-3      # floor for illumination before division
     blur_radius: int = 2         # Gaussian radius for illumination smoothing
     blur_sigma: float = 1.0      # Gaussian sigma for illumination smoothing
@@ -47,6 +53,14 @@ class PipelineConfig:
                                     # (squared Epanechnikov, transcendental-
                                     # free — measured perf-neutral on TPU;
                                     # see ops/denoise.py)
+    denoise_guide: str = "luma"     # "luma" (default): joint bilateral
+                                    # guided by the channel-mean luminance —
+                                    # one weight plane per tap, chroma
+                                    # smoothing aligned with luminance edges
+                                    # (measured: perf-neutral, +0.3 dB /
+                                    # +0.03 SSIM over "perchannel" on the
+                                    # eval set); "perchannel": independent
+                                    # range weights per channel
 
     # --- curve CNN -----------------------------------------------------------
     curve_iters: int = 8         # LE-curve iterations (Zero-DCE uses 8)
@@ -82,12 +96,20 @@ class PipelineConfig:
             raise ValueError("denoise_strength must be in [0, 1]")
         if self.denoise_strength > 0.0 and self.denoise_sigma <= 0:
             raise ValueError("denoise_sigma must be > 0")
-        from low_light_image_enhancement_tpu.ops.denoise import RANGE_KERNELS
+        from low_light_image_enhancement_tpu.ops.denoise import (
+            GUIDES,
+            RANGE_KERNELS,
+        )
 
         if self.denoise_kernel not in RANGE_KERNELS:
             raise ValueError(
                 f"denoise_kernel must be one of {RANGE_KERNELS}: "
                 f"{self.denoise_kernel!r}"
+            )
+        if self.denoise_guide not in GUIDES:
+            raise ValueError(
+                f"denoise_guide must be one of {GUIDES}: "
+                f"{self.denoise_guide!r}"
             )
         if self.curve_downsample not in (1, 2, 4, 8):
             raise ValueError(

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from low_light_image_enhancement_tpu.config import MARGIN, PipelineConfig
 from low_light_image_enhancement_tpu.ops.curves import apply_curves
-from low_light_image_enhancement_tpu.ops.denoise import bilateral_core
+from low_light_image_enhancement_tpu.ops.denoise import denoise_planar
 from low_light_image_enhancement_tpu.ops.filters import (
     roll2d,
     separable_blur,
@@ -65,6 +65,6 @@ def enhance_core_padded(
         x = jnp.clip(apply_curves(x, curve_maps), 0.0, 1.0)
     if do_denoise and cfg.denoise_strength > 0.0:
         inv2s2 = 1.0 / (2.0 * cfg.denoise_sigma * cfg.denoise_sigma)
-        x = bilateral_core(x, inv2s2, cfg.denoise_strength, roll2d,
-                           cfg.denoise_kernel)
+        x = denoise_planar(x, inv2s2, cfg.denoise_strength, roll2d,
+                           cfg.denoise_kernel, cfg.denoise_guide)
     return jnp.clip(x, 0.0, 1.0)

@@ -27,7 +27,10 @@ from low_light_image_enhancement_tpu.kernels.striping import (
     merge_stripes,
     stripe_pallas_call,
 )
-from low_light_image_enhancement_tpu.ops.denoise import bilateral_core
+from low_light_image_enhancement_tpu.ops.denoise import (
+    bilateral_core,
+    bilateral_joint_core,
+)
 from low_light_image_enhancement_tpu.ops.filters import separable_blur
 
 
@@ -41,9 +44,18 @@ def kroll2d(x: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
     return x
 
 
+def _finalize_plane(y, margin, th, u8_io):
+    y = jnp.clip(y, 0.0, 1.0)[margin : margin + th, :]
+    if u8_io:
+        y = jnp.clip(jnp.round(y * 255.0), 0.0, 255.0)
+        y = y.astype(jnp.int32).astype(jnp.uint8)
+    return y
+
+
 def _retinex_kernel(
     x_ref, o_ref, *, radius, sigma, gamma, eps, inv2s2, strength, margin, th,
-    u8_io, dn_kind="exp", stages=("blur", "boost", "denoise"),
+    u8_io, dn_kind="exp", guide="perchannel",
+    stages=("blur", "boost", "denoise"),
 ):
     """``stages`` gates the pipeline's compute stages so the per-stage
     device-time tool (scripts/profile_stages.py) can compile truncated
@@ -63,20 +75,25 @@ def _retinex_kernel(
             boost = jnp.exp((gamma - 1.0) * jnp.log(l))
         else:
             boost = l  # keep the blur's result live without the exp/log
+    do_dn = strength > 0.0 and "denoise" in stages
+    if do_dn and guide == "luma":
+        # joint bilateral: one weight plane per tap shared by all channels
+        ys = [x[c] if boost is None else jnp.clip(x[c] * boost, 0.0, 1.0)
+              for c in range(3)]
+        ys = bilateral_joint_core(ys, inv2s2, strength, kroll2d, dn_kind)
+        for c in range(3):
+            o_ref[0, 0, c] = _finalize_plane(ys[c], margin, th, u8_io)
+        return
     for c in range(3):  # per-plane 2-D ops keep Mosaic layouts simple
         y = x[c] if boost is None else jnp.clip(x[c] * boost, 0.0, 1.0)
-        if strength > 0.0 and "denoise" in stages:
+        if do_dn:
             y = bilateral_core(y, inv2s2, strength, kroll2d, dn_kind)
-        y = jnp.clip(y, 0.0, 1.0)[margin : margin + th, :]
-        if u8_io:
-            y = jnp.clip(jnp.round(y * 255.0), 0.0, 255.0)
-            y = y.astype(jnp.int32).astype(jnp.uint8)
-        o_ref[0, 0, c] = y
+        o_ref[0, 0, c] = _finalize_plane(y, margin, th, u8_io)
 
 
 def _curve_kernel(
     x_ref, m_ref, o_ref, *, boost, n_iter, radius, sigma, gamma, eps, inv2s2,
-    strength, margin, th, u8_io, ds, dn_kind="exp",
+    strength, margin, th, u8_io, ds, dn_kind="exp", guide="perchannel",
 ):
     """Fused learned tail (BASELINE.json north_star conv-net fusion, tail
     half): u8 normalize -> optional retinex boost (hybrid) -> ``n_iter``
@@ -114,6 +131,8 @@ def _curve_kernel(
         l0 = jnp.maximum(jnp.maximum(x[0], x[1]), x[2])
         l = jnp.clip(separable_blur(l0, radius, sigma, kroll2d), eps, 1.0)
         gain = jnp.exp((gamma - 1.0) * jnp.log(l))
+    joint = strength > 0.0 and guide == "luma"
+    ys = []
     for c in range(3):  # per-plane 2-D ops keep Mosaic layouts simple
         y = x[c]
         if boost:
@@ -134,13 +153,16 @@ def _curve_kernel(
                     + kroll2d(rep, -half, 0) * f_up
             y = y + a * y * (1.0 - y)
         y = jnp.clip(y, 0.0, 1.0)
+        if joint:
+            ys.append(y)  # joint denoise needs all channels below
+            continue
         if strength > 0.0:
             y = bilateral_core(y, inv2s2, strength, kroll2d, dn_kind)
-        y = jnp.clip(y, 0.0, 1.0)[margin : margin + th, :]
-        if u8_io:
-            y = jnp.clip(jnp.round(y * 255.0), 0.0, 255.0)
-            y = y.astype(jnp.int32).astype(jnp.uint8)
-        o_ref[0, 0, c] = y
+        o_ref[0, 0, c] = _finalize_plane(y, margin, th, u8_io)
+    if joint:
+        ys = bilateral_joint_core(ys, inv2s2, strength, kroll2d, dn_kind)
+        for c in range(3):
+            o_ref[0, 0, c] = _finalize_plane(ys[c], margin, th, u8_io)
 
 
 def fused_curve_enhance(
@@ -201,13 +223,25 @@ def fused_curve_enhance(
         u8_io=u8_io,
         ds=ds,
         dn_kind=cfg.denoise_kernel,
+        guide=cfg.denoise_guide,
     )
     out = stripe_pallas_call(kernel, [x_stripes, m_stripes], plan, xp.dtype,
                              interpret=interpret)
     return merge_stripes(out, plan)
 
 
-def curve_plan_bytes_per_px(n_iter: int, ds: int = 1) -> int:
+def retinex_plan_bytes_per_px(cfg: PipelineConfig) -> int:
+    """Resident VMEM bytes/pixel of the retinex kernel for stripe sizing.
+    The per-channel bilateral streams one channel at a time (~37 B/px
+    measured, see plan_stripes docstring); the luma-guided joint bilateral
+    must hold all 3 boosted channels + the guide + 3 accumulators + the
+    weight plane live at once (~110 B/px measured from the Mosaic scoped
+    peak: 28.7 MB over a 408x640 stripe)."""
+    return 120 if cfg.denoise_guide == "luma" else 40
+
+
+def curve_plan_bytes_per_px(n_iter: int, ds: int = 1,
+                            guide: str = "perchannel") -> int:
     """Resident VMEM bytes/pixel of the curve kernel for stripe sizing:
     n_iter*3 f32 map planes (1/ds rows when downsampled) + u8 in/out +
     working set. Mosaic's scoped-stack peak measured ~213 B/px for the
@@ -216,7 +250,9 @@ def curve_plan_bytes_per_px(n_iter: int, ds: int = 1) -> int:
     that is too short only adds a little halo re-read. Sized against the
     14 MB plan budget so the scoped peak stays under Mosaic's 16 MB."""
     # Measured scoped peaks (v5e): ds=1 ~189 B/px, ds=4 ~213 B/px.
-    return n_iter * 3 * 4 // ds + (150 if ds == 1 else 216)
+    base = n_iter * 3 * 4 // ds + (150 if ds == 1 else 216)
+    # luma guide additionally holds all 3 curve outputs + guide + accs live
+    return base + (48 if guide == "luma" else 0)
 
 
 def fused_retinex(
@@ -256,6 +292,7 @@ def fused_retinex(
         th=plan.stripe_rows,
         u8_io=u8_io,
         dn_kind=cfg.denoise_kernel,
+        guide=cfg.denoise_guide,
         stages=tuple(stages),
     )
     out = stripe_pallas_call(kernel, stripes, plan, xp.dtype,

@@ -19,12 +19,21 @@ from low_light_image_enhancement_tpu.kernels.striping import (
     stripe_pallas_call,
 )
 from low_light_image_enhancement_tpu.kernels.fused_enhance import kroll2d
-from low_light_image_enhancement_tpu.ops.denoise import bilateral_core
+from low_light_image_enhancement_tpu.ops.denoise import (
+    bilateral_core,
+    bilateral_joint_core,
+)
 
 
 def _denoise_kernel(x_ref, o_ref, *, inv2s2, strength, margin, th,
-                    dn_kind="exp"):
+                    dn_kind="exp", guide="perchannel"):
     x = x_ref[0, 0]  # (3, THh, Wp)
+    if guide == "luma":
+        ys = bilateral_joint_core([x[0], x[1], x[2]], inv2s2, strength,
+                                  kroll2d, dn_kind)
+        for c in range(3):
+            o_ref[0, 0, c] = jnp.clip(ys[c], 0.0, 1.0)[margin : margin + th, :]
+        return
     for c in range(3):
         y = bilateral_core(x[c], inv2s2, strength, kroll2d, dn_kind)
         o_ref[0, 0, c] = jnp.clip(y, 0.0, 1.0)[margin : margin + th, :]
@@ -37,6 +46,7 @@ def tiled_denoise(
     plan: StripePlan,
     interpret: bool = False,
     kind: str = "exp",
+    guide: str = "perchannel",
 ) -> jnp.ndarray:
     """(B, 3, Hp, Wp) padded canvas -> (B, 3, S*TH, Wp) denoised rows
     [margin, margin + S*TH); caller crops columns."""
@@ -46,6 +56,7 @@ def tiled_denoise(
         _denoise_kernel,
         inv2s2=1.0 / (2.0 * sigma_range * sigma_range),
         dn_kind=kind,
+        guide=guide,
         strength=strength,
         margin=plan.margin,
         th=plan.stripe_rows,

@@ -66,22 +66,74 @@ def bilateral_core(x, inv2s2, strength, shift_fn, kind: str = "exp"):
     return x + strength * (filtered - x)
 
 
+def bilateral_joint_core(planes, inv2s2, strength, shift_fn,
+                         kind: str = "exp"):
+    """Luma-guided JOINT bilateral over a sequence of channel planes: range
+    weights come from the channel-mean luminance guide and are shared by
+    every channel (the classic cross/joint bilateral). vs the per-channel
+    form this computes one weight plane per tap instead of three — ~40%
+    fewer plane sweeps in the fused kernel — and keeps chroma smoothing
+    aligned with luminance edges (no per-channel color fringing).
+
+    Returns the filtered planes, same order. Tap order matches
+    ``bilateral_core`` exactly so kernel parity tests cover both guides.
+    """
+    luma = (planes[0] + planes[1] + planes[2]) * (1.0 / 3.0)
+    accs = [jnp.zeros_like(p) for p in planes]
+    wacc = jnp.zeros_like(luma)
+    for di in (-1, 0, 1):
+        for dj in (-1, 0, 1):
+            g = shift_fn(luma, di, dj)
+            d = g - luma
+            w = (_SPATIAL_1D[di + 1] * _SPATIAL_1D[dj + 1]) * _range_weight(
+                d * d, inv2s2, kind
+            )
+            wacc = wacc + w
+            for k, p in enumerate(planes):
+                accs[k] = accs[k] + w * shift_fn(p, di, dj)
+    winv = 1.0 / wacc
+    return [p + strength * (acc * winv - p)
+            for p, acc in zip(planes, accs)]
+
+
+GUIDES = ("perchannel", "luma")
+
+
+def denoise_planar(x, inv2s2, strength, shift_fn, kind: str = "exp",
+                   guide: str = "perchannel"):
+    """Dispatch on the guide for a planar (..., 3, H, W) array. The shared
+    entry used by the pipeline/core/video jnp paths (the Pallas kernels
+    call the cores directly on their per-plane layout)."""
+    if guide == "perchannel":
+        return bilateral_core(x, inv2s2, strength, shift_fn, kind)
+    if guide != "luma":
+        raise ValueError(f"denoise guide must be one of {GUIDES}: {guide!r}")
+    planes = [x[..., c, :, :] for c in range(3)]
+    return jnp.stack(
+        bilateral_joint_core(planes, inv2s2, strength, shift_fn, kind),
+        axis=-3,
+    )
+
+
 def bilateral_denoise(
     x: jnp.ndarray,
     sigma_range: float = 0.12,
     strength: float = 0.5,
     mode: str = "clamp",
     kind: str = "exp",
+    guide: str = "perchannel",
 ) -> jnp.ndarray:
     """Edge-preserving 3x3 filter over the last two axes, blended by
-    ``strength`` (0 = passthrough). Works on any planar layout.
+    ``strength`` (0 = passthrough). Works on any planar layout
+    (``guide="luma"`` requires a channel axis at -3).
 
     mode="clamp": edge-replicate boundary (public-op semantics).
     mode="wrap":  circular boundary for pre-padded inputs (pipeline core).
     kind: range-weight kernel, "exp" or "epan" (module docstring).
+    guide: "perchannel" weights, or "luma" for the joint bilateral.
     """
     if strength == 0.0:
         return x
     shift_fn = shift2d if mode == "clamp" else roll2d
     inv2s2 = 1.0 / (2.0 * sigma_range * sigma_range)
-    return bilateral_core(x, inv2s2, strength, shift_fn, kind)
+    return denoise_planar(x, inv2s2, strength, shift_fn, kind, guide)

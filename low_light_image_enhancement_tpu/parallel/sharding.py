@@ -107,7 +107,12 @@ def enhance_spatial_sharded(
     def local_fn(xl):  # (B/nd, 3, hl, wp) per device
         canvas = halo_pad_local(xl, m, "spatial")  # (.., hl + 2m, wp)
         if use_pallas:
-            plan = plan_stripes(hl, wp - 2 * m, m, cfg.stripe_rows)
+            from low_light_image_enhancement_tpu.kernels.fused_enhance import (
+                retinex_plan_bytes_per_px,
+            )
+
+            plan = plan_stripes(hl, wp - 2 * m, m, cfg.stripe_rows,
+                                bytes_per_px=retinex_plan_bytes_per_px(cfg))
             extra = plan.padded_h - (hl + 2 * m)
             if extra:
                 canvas = jnp.pad(

@@ -67,13 +67,13 @@ def _enhance_u8_batch(
         yp = illumination_boost(xp, cfg)
         if cfg.denoise_strength > 0.0:
             from low_light_image_enhancement_tpu.ops.denoise import (
-                bilateral_core,
+                denoise_planar,
             )
             from low_light_image_enhancement_tpu.ops.filters import roll2d
 
             inv2s2 = 1.0 / (2.0 * cfg.denoise_sigma * cfg.denoise_sigma)
-            yp = bilateral_core(yp, inv2s2, cfg.denoise_strength, roll2d,
-                                cfg.denoise_kernel)
+            yp = denoise_planar(yp, inv2s2, cfg.denoise_strength, roll2d,
+                                cfg.denoise_kernel, cfg.denoise_guide)
         y = jnp.clip(yp, 0.0, 1.0)[:, :, m : m + h, m : m + w]
         return jnp.transpose(quantize_u8(y), (0, 2, 3, 1))
 
@@ -189,7 +189,14 @@ class EnhancePipeline:
         key = (b, h, w)
         fn = self._cache.get(key)
         if fn is None:
-            plan = plan_stripes(h, w, MARGIN, self.config.stripe_rows)
+            from low_light_image_enhancement_tpu.kernels.fused_enhance import (
+                retinex_plan_bytes_per_px,
+            )
+
+            plan = plan_stripes(
+                h, w, MARGIN, self.config.stripe_rows,
+                bytes_per_px=retinex_plan_bytes_per_px(self.config),
+            )
             fn = jax.jit(
                 functools.partial(
                     _enhance_u8_batch,

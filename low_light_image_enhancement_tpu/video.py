@@ -41,7 +41,7 @@ from low_light_image_enhancement_tpu.ops.colorspace import (
     quantize_u8,
 )
 from low_light_image_enhancement_tpu.ops.curves import apply_curves
-from low_light_image_enhancement_tpu.ops.denoise import bilateral_core
+from low_light_image_enhancement_tpu.ops.denoise import denoise_planar
 from low_light_image_enhancement_tpu.ops.filters import roll2d, separable_blur
 
 State = Tuple[jnp.ndarray, jnp.ndarray]  # (initialized flag, EMA carry)
@@ -57,8 +57,8 @@ def _illum(xb: jnp.ndarray, cfg: PipelineConfig) -> jnp.ndarray:
 def _denoise_tail(y: jnp.ndarray, cfg: PipelineConfig) -> jnp.ndarray:
     if cfg.denoise_strength > 0.0:
         inv2s2 = 1.0 / (2.0 * cfg.denoise_sigma * cfg.denoise_sigma)
-        y = bilateral_core(y, inv2s2, cfg.denoise_strength, roll2d,
-                           cfg.denoise_kernel)
+        y = denoise_planar(y, inv2s2, cfg.denoise_strength, roll2d,
+                           cfg.denoise_kernel, cfg.denoise_guide)
     return jnp.clip(y, 0.0, 1.0)
 
 

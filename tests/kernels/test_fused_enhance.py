@@ -47,8 +47,9 @@ def test_extract_merge_roundtrip():
 
 
 @pytest.mark.parametrize("h,w", [(40, 72), (104, 200), (33, 47)])
-def test_fused_retinex_parity_interpret(h, w):
-    cfg = PipelineConfig()
+@pytest.mark.parametrize("guide", ["perchannel", "luma"])
+def test_fused_retinex_parity_interpret(h, w, guide):
+    cfg = PipelineConfig(denoise_guide=guide)
     xp, plan = _padded_input(2, h, w, cfg, seed=1)
     got = np.asarray(fused_retinex(xp, cfg, plan, interpret=True))
     want_full = np.asarray(enhance_core_padded(xp, cfg))
@@ -61,12 +62,14 @@ def test_fused_retinex_parity_interpret(h, w):
     )
 
 
-def test_tiled_denoise_parity_interpret():
-    cfg = PipelineConfig()
+@pytest.mark.parametrize("guide", ["perchannel", "luma"])
+def test_tiled_denoise_parity_interpret(guide):
+    cfg = PipelineConfig(denoise_guide=guide)
     xp, plan = _padded_input(1, 48, 80, cfg, seed=2)
     got = np.asarray(
         tiled_denoise(xp, cfg.denoise_sigma, cfg.denoise_strength, plan,
-                      interpret=True, kind=cfg.denoise_kernel)
+                      interpret=True, kind=cfg.denoise_kernel,
+                      guide=cfg.denoise_guide)
     )
     want_full = np.asarray(
         enhance_core_padded(xp, cfg.replace(method="curve", gamma=1.0),

@@ -117,6 +117,43 @@ def test_denoise_epan_preserves_constant_and_rejects_unknown():
         bilateral_denoise(x, strength=1.0, kind="gauss")
 
 
+def test_denoise_luma_guide_preserves_constant_and_reduces_noise():
+    x = jnp.full((3, 12, 16), 0.5, jnp.float32)
+    y = np.asarray(bilateral_denoise(x, strength=1.0, guide="luma"))
+    np.testing.assert_allclose(y, 0.5, atol=1e-6)
+
+    rng = np.random.default_rng(11)
+    clean = np.full((3, 32, 32), 0.4, np.float32)
+    noisy = np.clip(clean + rng.normal(0, 0.03, clean.shape), 0, 1).astype(
+        np.float32
+    )
+    out = np.asarray(bilateral_denoise(jnp.asarray(noisy), strength=1.0,
+                                       guide="luma"))
+    assert out[:, 4:28, 4:28].std() < noisy[:, 4:28, 4:28].std() * 0.8
+
+
+def test_denoise_luma_guide_shares_weights_across_channels():
+    """With a step edge only in one channel, the luma guide must smooth all
+    channels with the SAME weights: the flat channels stay flat and the
+    per-channel and joint outputs genuinely differ at the edge."""
+    x = np.full((3, 16, 16), 0.5, np.float32)
+    x[0, :, 8:] = 0.9  # red-only edge
+    xj = jnp.asarray(x)
+    per = np.asarray(bilateral_denoise(xj, strength=1.0, guide="perchannel"))
+    joint = np.asarray(bilateral_denoise(xj, strength=1.0, guide="luma"))
+    assert not np.allclose(per, joint)
+    np.testing.assert_allclose(joint[1], 0.5, atol=1e-6)  # flat stays flat
+
+
+def test_config_rejects_unknown_denoise_guide():
+    import pytest
+
+    from low_light_image_enhancement_tpu.config import PipelineConfig
+
+    with pytest.raises(ValueError, match="denoise_guide"):
+        PipelineConfig(denoise_guide="chroma")
+
+
 def test_config_rejects_unknown_denoise_kernel():
     import pytest
 
