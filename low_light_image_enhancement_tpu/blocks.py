@@ -254,7 +254,8 @@ def enhance_learned_block(
         out = tiled_denoise(sub, cfg.denoise_sigma, cfg.denoise_strength,
                             plan, interpret=interpret,
                             kind=cfg.denoise_kernel,
-                            guide=cfg.denoise_guide)[..., :rows, :]
+                            guide=cfg.denoise_guide,
+                            taps=cfg.denoise_taps)[..., :rows, :]
         return quantize_u8(out) if u8_io else out
 
     from low_light_image_enhancement_tpu.ops.denoise import denoise_planar
@@ -262,7 +263,8 @@ def enhance_learned_block(
 
     inv2s2 = 1.0 / (2.0 * cfg.denoise_sigma * cfg.denoise_sigma)
     y = denoise_planar(y, inv2s2, cfg.denoise_strength, roll2d,
-                       cfg.denoise_kernel, cfg.denoise_guide)
+                       cfg.denoise_kernel, cfg.denoise_guide,
+                       cfg.denoise_taps)
     out = jnp.clip(y, 0.0, 1.0)[..., halo : halo + rows, :]
     return quantize_u8(out) if u8_io else out
 

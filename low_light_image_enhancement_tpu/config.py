@@ -53,6 +53,13 @@ class PipelineConfig:
                                     # (squared Epanechnikov, transcendental-
                                     # free — measured perf-neutral on TPU;
                                     # see ops/denoise.py)
+    denoise_taps: str = "sep"       # "sep" (default): separable 3+3-tap
+                                    # bilateral — +37% measured pipeline
+                                    # throughput at measured-identical eval
+                                    # quality (the tap count IS the
+                                    # bilateral's cost on the VPU — see
+                                    # docs/PERFORMANCE.md); "full": the
+                                    # exact 9-tap 3x3 bilateral
     denoise_guide: str = "luma"     # "luma" (default): joint bilateral
                                     # guided by the channel-mean luminance —
                                     # one weight plane per tap, chroma
@@ -99,6 +106,7 @@ class PipelineConfig:
         from low_light_image_enhancement_tpu.ops.denoise import (
             GUIDES,
             RANGE_KERNELS,
+            TAPS,
         )
 
         if self.denoise_kernel not in RANGE_KERNELS:
@@ -110,6 +118,10 @@ class PipelineConfig:
             raise ValueError(
                 f"denoise_guide must be one of {GUIDES}: "
                 f"{self.denoise_guide!r}"
+            )
+        if self.denoise_taps not in TAPS:
+            raise ValueError(
+                f"denoise_taps must be one of {TAPS}: {self.denoise_taps!r}"
             )
         if self.curve_downsample not in (1, 2, 4, 8):
             raise ValueError(

@@ -66,5 +66,6 @@ def enhance_core_padded(
     if do_denoise and cfg.denoise_strength > 0.0:
         inv2s2 = 1.0 / (2.0 * cfg.denoise_sigma * cfg.denoise_sigma)
         x = denoise_planar(x, inv2s2, cfg.denoise_strength, roll2d,
-                           cfg.denoise_kernel, cfg.denoise_guide)
+                           cfg.denoise_kernel, cfg.denoise_guide,
+                           cfg.denoise_taps)
     return jnp.clip(x, 0.0, 1.0)

@@ -27,10 +27,7 @@ from low_light_image_enhancement_tpu.kernels.striping import (
     merge_stripes,
     stripe_pallas_call,
 )
-from low_light_image_enhancement_tpu.ops.denoise import (
-    bilateral_core,
-    bilateral_joint_core,
-)
+from low_light_image_enhancement_tpu.ops.denoise import plane_cores
 from low_light_image_enhancement_tpu.ops.filters import separable_blur
 
 
@@ -54,7 +51,7 @@ def _finalize_plane(y, margin, th, u8_io):
 
 def _retinex_kernel(
     x_ref, o_ref, *, radius, sigma, gamma, eps, inv2s2, strength, margin, th,
-    u8_io, dn_kind="exp", guide="perchannel",
+    u8_io, dn_kind="exp", guide="perchannel", taps="full",
     stages=("blur", "boost", "denoise"),
 ):
     """``stages`` gates the pipeline's compute stages so the per-stage
@@ -76,24 +73,26 @@ def _retinex_kernel(
         else:
             boost = l  # keep the blur's result live without the exp/log
     do_dn = strength > 0.0 and "denoise" in stages
+    core1, corej = plane_cores(guide, taps)
     if do_dn and guide == "luma":
         # joint bilateral: one weight plane per tap shared by all channels
         ys = [x[c] if boost is None else jnp.clip(x[c] * boost, 0.0, 1.0)
               for c in range(3)]
-        ys = bilateral_joint_core(ys, inv2s2, strength, kroll2d, dn_kind)
+        ys = corej(ys, inv2s2, strength, kroll2d, dn_kind)
         for c in range(3):
             o_ref[0, 0, c] = _finalize_plane(ys[c], margin, th, u8_io)
         return
     for c in range(3):  # per-plane 2-D ops keep Mosaic layouts simple
         y = x[c] if boost is None else jnp.clip(x[c] * boost, 0.0, 1.0)
         if do_dn:
-            y = bilateral_core(y, inv2s2, strength, kroll2d, dn_kind)
+            y = core1(y, inv2s2, strength, kroll2d, dn_kind)
         o_ref[0, 0, c] = _finalize_plane(y, margin, th, u8_io)
 
 
 def _curve_kernel(
     x_ref, m_ref, o_ref, *, boost, n_iter, radius, sigma, gamma, eps, inv2s2,
     strength, margin, th, u8_io, ds, dn_kind="exp", guide="perchannel",
+    taps="full",
 ):
     """Fused learned tail (BASELINE.json north_star conv-net fusion, tail
     half): u8 normalize -> optional retinex boost (hybrid) -> ``n_iter``
@@ -132,6 +131,7 @@ def _curve_kernel(
         l = jnp.clip(separable_blur(l0, radius, sigma, kroll2d), eps, 1.0)
         gain = jnp.exp((gamma - 1.0) * jnp.log(l))
     joint = strength > 0.0 and guide == "luma"
+    core1, corej = plane_cores(guide, taps)
     ys = []
     for c in range(3):  # per-plane 2-D ops keep Mosaic layouts simple
         y = x[c]
@@ -157,10 +157,10 @@ def _curve_kernel(
             ys.append(y)  # joint denoise needs all channels below
             continue
         if strength > 0.0:
-            y = bilateral_core(y, inv2s2, strength, kroll2d, dn_kind)
+            y = core1(y, inv2s2, strength, kroll2d, dn_kind)
         o_ref[0, 0, c] = _finalize_plane(y, margin, th, u8_io)
     if joint:
-        ys = bilateral_joint_core(ys, inv2s2, strength, kroll2d, dn_kind)
+        ys = corej(ys, inv2s2, strength, kroll2d, dn_kind)
         for c in range(3):
             o_ref[0, 0, c] = _finalize_plane(ys[c], margin, th, u8_io)
 
@@ -224,6 +224,7 @@ def fused_curve_enhance(
         ds=ds,
         dn_kind=cfg.denoise_kernel,
         guide=cfg.denoise_guide,
+        taps=cfg.denoise_taps,
     )
     out = stripe_pallas_call(kernel, [x_stripes, m_stripes], plan, xp.dtype,
                              interpret=interpret)
@@ -293,6 +294,7 @@ def fused_retinex(
         u8_io=u8_io,
         dn_kind=cfg.denoise_kernel,
         guide=cfg.denoise_guide,
+        taps=cfg.denoise_taps,
         stages=tuple(stages),
     )
     out = stripe_pallas_call(kernel, stripes, plan, xp.dtype,

@@ -105,11 +105,13 @@ def fused_retinex_hwc(
     """(B, Hp, Wp, 3) u8 edge-padded HWC -> (B, S*TH, Wp, 3) u8 enhanced
     (row 0 = original row 0; caller crops rows [0, H) and cols
     [margin, margin + W))."""
-    if cfg.denoise_strength > 0.0 and cfg.denoise_guide != "perchannel":
+    if cfg.denoise_strength > 0.0 and (
+        cfg.denoise_guide != "perchannel" or cfg.denoise_taps != "full"
+    ):
         raise NotImplementedError(
             "the interleaved-HWC experiment implements only the per-channel "
-            "bilateral; use denoise_guide='perchannel' (the production "
-            "planar kernel supports 'luma')"
+            "full-tap bilateral; the production planar kernel supports "
+            "denoise_guide='luma' and denoise_taps='sep'"
         )
     b, hp, wp, _ = padded_u8.shape
     lanes = 3 * wp

@@ -19,23 +19,20 @@ from low_light_image_enhancement_tpu.kernels.striping import (
     stripe_pallas_call,
 )
 from low_light_image_enhancement_tpu.kernels.fused_enhance import kroll2d
-from low_light_image_enhancement_tpu.ops.denoise import (
-    bilateral_core,
-    bilateral_joint_core,
-)
+from low_light_image_enhancement_tpu.ops.denoise import plane_cores
 
 
 def _denoise_kernel(x_ref, o_ref, *, inv2s2, strength, margin, th,
-                    dn_kind="exp", guide="perchannel"):
+                    dn_kind="exp", guide="perchannel", taps="full"):
     x = x_ref[0, 0]  # (3, THh, Wp)
+    core1, corej = plane_cores(guide, taps)
     if guide == "luma":
-        ys = bilateral_joint_core([x[0], x[1], x[2]], inv2s2, strength,
-                                  kroll2d, dn_kind)
+        ys = corej([x[0], x[1], x[2]], inv2s2, strength, kroll2d, dn_kind)
         for c in range(3):
             o_ref[0, 0, c] = jnp.clip(ys[c], 0.0, 1.0)[margin : margin + th, :]
         return
     for c in range(3):
-        y = bilateral_core(x[c], inv2s2, strength, kroll2d, dn_kind)
+        y = core1(x[c], inv2s2, strength, kroll2d, dn_kind)
         o_ref[0, 0, c] = jnp.clip(y, 0.0, 1.0)[margin : margin + th, :]
 
 
@@ -47,6 +44,7 @@ def tiled_denoise(
     interpret: bool = False,
     kind: str = "exp",
     guide: str = "perchannel",
+    taps: str = "full",
 ) -> jnp.ndarray:
     """(B, 3, Hp, Wp) padded canvas -> (B, 3, S*TH, Wp) denoised rows
     [margin, margin + S*TH); caller crops columns."""
@@ -57,6 +55,7 @@ def tiled_denoise(
         inv2s2=1.0 / (2.0 * sigma_range * sigma_range),
         dn_kind=kind,
         guide=guide,
+        taps=taps,
         strength=strength,
         margin=plan.margin,
         th=plan.stripe_rows,

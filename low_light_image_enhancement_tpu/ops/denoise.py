@@ -96,21 +96,77 @@ def bilateral_joint_core(planes, inv2s2, strength, shift_fn,
             for p, acc in zip(planes, accs)]
 
 
+def bilateral_sep_core(x, inv2s2, strength, shift_fn, kind: str = "exp"):
+    """Separable bilateral approximation: a 3-tap bilateral pass along rows,
+    then along columns of the row-filtered result — 6 shifted taps instead
+    of 9. The bilateral is only approximately separable (diagonal neighbors
+    are weighted through the intermediate), but at radius 1 the difference
+    is far below the denoise strength's blend; measured +22% kernel
+    throughput on TPU v5e (the tap count IS the cost — see
+    docs/PERFORMANCE.md "What bounds the bilateral")."""
+    f = x
+    for dy, dx in ((1, 0), (0, 1)):
+        acc = jnp.zeros_like(f)
+        wacc = jnp.zeros_like(f)
+        for t in (-1, 0, 1):
+            s = shift_fn(f, t * dy, t * dx)
+            d = s - f
+            w = _SPATIAL_1D[t + 1] * _range_weight(d * d, inv2s2, kind)
+            acc = acc + w * s
+            wacc = wacc + w
+        f = acc / wacc
+    return x + strength * (f - x)
+
+
+def bilateral_sep_joint_core(planes, inv2s2, strength, shift_fn,
+                             kind: str = "exp"):
+    """Separable + luma-guided joint bilateral: 2 passes, one weight plane
+    per tap from the (pass-local) luminance guide. The cheapest tap
+    structure offered."""
+    outs = list(planes)
+    for dy, dx in ((1, 0), (0, 1)):
+        luma = (outs[0] + outs[1] + outs[2]) * (1.0 / 3.0)
+        accs = [jnp.zeros_like(p) for p in outs]
+        wacc = jnp.zeros_like(luma)
+        for t in (-1, 0, 1):
+            g = shift_fn(luma, t * dy, t * dx)
+            d = g - luma
+            w = _SPATIAL_1D[t + 1] * _range_weight(d * d, inv2s2, kind)
+            wacc = wacc + w
+            for k, p in enumerate(outs):
+                accs[k] = accs[k] + w * shift_fn(p, t * dy, t * dx)
+        winv = 1.0 / wacc
+        outs = [acc * winv for acc in accs]
+    return [p + strength * (o - p) for p, o in zip(planes, outs)]
+
+
 GUIDES = ("perchannel", "luma")
+TAPS = ("full", "sep")
+
+
+def plane_cores(guide: str, taps: str):
+    """(single-plane core, joint core) pair for a (guide, taps) choice —
+    the same functions the fused Pallas kernels call per stripe."""
+    if guide not in GUIDES:
+        raise ValueError(f"denoise guide must be one of {GUIDES}: {guide!r}")
+    if taps not in TAPS:
+        raise ValueError(f"denoise taps must be one of {TAPS}: {taps!r}")
+    if taps == "full":
+        return bilateral_core, bilateral_joint_core
+    return bilateral_sep_core, bilateral_sep_joint_core
 
 
 def denoise_planar(x, inv2s2, strength, shift_fn, kind: str = "exp",
-                   guide: str = "perchannel"):
-    """Dispatch on the guide for a planar (..., 3, H, W) array. The shared
-    entry used by the pipeline/core/video jnp paths (the Pallas kernels
-    call the cores directly on their per-plane layout)."""
+                   guide: str = "perchannel", taps: str = "full"):
+    """Dispatch on (guide, taps) for a planar (..., 3, H, W) array. The
+    shared entry used by the pipeline/core/video jnp paths (the Pallas
+    kernels call the cores directly on their per-plane layout)."""
+    core1, corej = plane_cores(guide, taps)
     if guide == "perchannel":
-        return bilateral_core(x, inv2s2, strength, shift_fn, kind)
-    if guide != "luma":
-        raise ValueError(f"denoise guide must be one of {GUIDES}: {guide!r}")
+        return core1(x, inv2s2, strength, shift_fn, kind)
     planes = [x[..., c, :, :] for c in range(3)]
     return jnp.stack(
-        bilateral_joint_core(planes, inv2s2, strength, shift_fn, kind),
+        corej(planes, inv2s2, strength, shift_fn, kind),
         axis=-3,
     )
 
@@ -122,6 +178,7 @@ def bilateral_denoise(
     mode: str = "clamp",
     kind: str = "exp",
     guide: str = "perchannel",
+    taps: str = "full",
 ) -> jnp.ndarray:
     """Edge-preserving 3x3 filter over the last two axes, blended by
     ``strength`` (0 = passthrough). Works on any planar layout
@@ -131,9 +188,11 @@ def bilateral_denoise(
     mode="wrap":  circular boundary for pre-padded inputs (pipeline core).
     kind: range-weight kernel, "exp" or "epan" (module docstring).
     guide: "perchannel" weights, or "luma" for the joint bilateral.
+    taps: "full" 3x3 (9 taps) or "sep" separable approximation (3+3 taps,
+      +22% measured kernel throughput — ``bilateral_sep_core``).
     """
     if strength == 0.0:
         return x
     shift_fn = shift2d if mode == "clamp" else roll2d
     inv2s2 = 1.0 / (2.0 * sigma_range * sigma_range)
-    return denoise_planar(x, inv2s2, strength, shift_fn, kind, guide)
+    return denoise_planar(x, inv2s2, strength, shift_fn, kind, guide, taps)

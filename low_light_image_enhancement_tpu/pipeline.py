@@ -73,7 +73,8 @@ def _enhance_u8_batch(
 
             inv2s2 = 1.0 / (2.0 * cfg.denoise_sigma * cfg.denoise_sigma)
             yp = denoise_planar(yp, inv2s2, cfg.denoise_strength, roll2d,
-                                cfg.denoise_kernel, cfg.denoise_guide)
+                                cfg.denoise_kernel, cfg.denoise_guide,
+                                cfg.denoise_taps)
         y = jnp.clip(yp, 0.0, 1.0)[:, :, m : m + h, m : m + w]
         return jnp.transpose(quantize_u8(y), (0, 2, 3, 1))
 

@@ -58,7 +58,8 @@ def _denoise_tail(y: jnp.ndarray, cfg: PipelineConfig) -> jnp.ndarray:
     if cfg.denoise_strength > 0.0:
         inv2s2 = 1.0 / (2.0 * cfg.denoise_sigma * cfg.denoise_sigma)
         y = denoise_planar(y, inv2s2, cfg.denoise_strength, roll2d,
-                           cfg.denoise_kernel, cfg.denoise_guide)
+                           cfg.denoise_kernel, cfg.denoise_guide,
+                           cfg.denoise_taps)
     return jnp.clip(y, 0.0, 1.0)
 
 

@@ -52,7 +52,7 @@ def test_core_padded_equals_public_ops_interior():
             bilateral_denoise(
                 want_boost, cfg.denoise_sigma, cfg.denoise_strength,
                 mode="clamp", kind=cfg.denoise_kernel,
-                guide=cfg.denoise_guide,
+                guide=cfg.denoise_guide, taps=cfg.denoise_taps,
             ),
             0.0, 1.0,
         )

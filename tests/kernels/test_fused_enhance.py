@@ -47,9 +47,12 @@ def test_extract_merge_roundtrip():
 
 
 @pytest.mark.parametrize("h,w", [(40, 72), (104, 200), (33, 47)])
-@pytest.mark.parametrize("guide", ["perchannel", "luma"])
-def test_fused_retinex_parity_interpret(h, w, guide):
-    cfg = PipelineConfig(denoise_guide=guide)
+@pytest.mark.parametrize("guide,taps", [
+    ("perchannel", "full"), ("luma", "full"),
+    ("perchannel", "sep"), ("luma", "sep"),
+])
+def test_fused_retinex_parity_interpret(h, w, guide, taps):
+    cfg = PipelineConfig(denoise_guide=guide, denoise_taps=taps)
     xp, plan = _padded_input(2, h, w, cfg, seed=1)
     got = np.asarray(fused_retinex(xp, cfg, plan, interpret=True))
     want_full = np.asarray(enhance_core_padded(xp, cfg))
@@ -62,14 +65,16 @@ def test_fused_retinex_parity_interpret(h, w, guide):
     )
 
 
-@pytest.mark.parametrize("guide", ["perchannel", "luma"])
-def test_tiled_denoise_parity_interpret(guide):
-    cfg = PipelineConfig(denoise_guide=guide)
+@pytest.mark.parametrize("guide,taps", [
+    ("perchannel", "full"), ("luma", "sep"),
+])
+def test_tiled_denoise_parity_interpret(guide, taps):
+    cfg = PipelineConfig(denoise_guide=guide, denoise_taps=taps)
     xp, plan = _padded_input(1, 48, 80, cfg, seed=2)
     got = np.asarray(
         tiled_denoise(xp, cfg.denoise_sigma, cfg.denoise_strength, plan,
                       interpret=True, kind=cfg.denoise_kernel,
-                      guide=cfg.denoise_guide)
+                      guide=cfg.denoise_guide, taps=cfg.denoise_taps)
     )
     want_full = np.asarray(
         enhance_core_padded(xp, cfg.replace(method="curve", gamma=1.0),

@@ -17,7 +17,7 @@ from low_light_image_enhancement_tpu.pipeline import EnhancePipeline
 def test_hwc_kernel_bit_exact_vs_planar_pipeline(h, w):
     # the experimental interleaved kernel implements only the per-channel
     # bilateral (it predates the luma guide and is a kept negative result)
-    cfg = PipelineConfig(denoise_guide="perchannel")
+    cfg = PipelineConfig(denoise_guide="perchannel", denoise_taps="full")
     lows, _ = synth_batch(2, h, w)
     got = np.asarray(enhance_hwc_u8(jnp.asarray(lows), cfg, interpret=True))
     want = EnhancePipeline(cfg, pallas_interpret=True).enhance_batch(lows)

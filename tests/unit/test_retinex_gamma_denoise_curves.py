@@ -145,6 +145,43 @@ def test_denoise_luma_guide_shares_weights_across_channels():
     np.testing.assert_allclose(joint[1], 0.5, atol=1e-6)  # flat stays flat
 
 
+def test_denoise_sep_taps_close_to_full_and_reduces_noise():
+    """The separable 3+3-tap approximation must track the full 3x3 bilateral
+    closely on natural-ish data and still denoise (it is the +22% TPU fast
+    path — ops/denoise.py bilateral_sep_core)."""
+    rng = np.random.default_rng(21)
+    clean = np.zeros((3, 32, 32), np.float32)
+    clean[:, :, 16:] = 0.7
+    noisy = np.clip(clean + rng.normal(0, 0.03, clean.shape), 0, 1).astype(
+        np.float32
+    )
+    full = np.asarray(bilateral_denoise(jnp.asarray(noisy), strength=1.0,
+                                        taps="full"))
+    sep = np.asarray(bilateral_denoise(jnp.asarray(noisy), strength=1.0,
+                                       taps="sep"))
+    assert not np.array_equal(full, sep)
+    assert np.abs(full - sep).max() < 0.02
+    assert sep[:, 4:28, 2:12].std() < noisy[:, 4:28, 2:12].std() * 0.8
+    # edge preserved
+    assert (sep[:, 16, 17] - sep[:, 16, 14]).min() > 0.7 * 0.85
+
+
+def test_denoise_sep_luma_combination_runs():
+    x = jnp.full((3, 16, 24), 0.3, jnp.float32)
+    y = np.asarray(bilateral_denoise(x, strength=1.0, taps="sep",
+                                     guide="luma"))
+    np.testing.assert_allclose(y, 0.3, atol=1e-6)
+
+
+def test_config_rejects_unknown_denoise_taps():
+    import pytest
+
+    from low_light_image_enhancement_tpu.config import PipelineConfig
+
+    with pytest.raises(ValueError, match="denoise_taps"):
+        PipelineConfig(denoise_taps="diag")
+
+
 def test_config_rejects_unknown_denoise_guide():
     import pytest
 
