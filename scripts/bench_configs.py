@@ -36,6 +36,7 @@ def _chain_rate(step_fn, x0, batch, n_short=3, n_long=12, repeats=3):
         _sync(x)
         return time.perf_counter() - t0
 
+    chain(n_short)  # discard: first chain of a session is a large outlier
     rates = []
     for _ in range(repeats):
         t_s, t_l = chain(n_short), chain(n_long)
@@ -198,7 +199,11 @@ def config5_4k_sharded(quick: bool) -> dict:
         lambda v: enhance_spatial_sharded(v, cfg, mesh, use_pallas=use_pallas)
     )
     _sync(fn(x))  # compile
-    rate = _chain_rate(lambda v: fn(v), x, 1, n_short=2, n_long=6)
+    # long chains + extra repeats: single-frame 4K dispatches through a
+    # tunneled PJRT see seconds-scale host jitter that short chains alias
+    # into the marginal rate (observed 9-168 "fps" at n_long=6)
+    rate = _chain_rate(lambda v: fn(v), x, 1, n_short=4, n_long=20,
+                       repeats=5)
     out = {
         "config": 5,
         "n_devices": n_dev,
