@@ -87,6 +87,23 @@ def _mask_extent(
     return jnp.where(row_ok & col_ok, y, 0.0)
 
 
+def replicate_margin_cols(y: jnp.ndarray, w: int) -> jnp.ndarray:
+    """Restore the MARGIN column-replica invariant after a wrap-roll stage:
+    the blurred illumination (and hence the hybrid boost) wraps
+    ``blur_radius`` columns at the canvas edges, so canvas cols [0, MARGIN)
+    and [MARGIN+w, WB) would otherwise carry opposite-edge content into the
+    CNN's receptive field (they sit within cnn_radius of consumed outputs).
+    Replaces them with replicas of the boosted image cols 0 / w-1 — exactly
+    the values the module invariant promises. The fused curve kernel applies
+    the same two selects in-kernel (`fused_enhance._kreplicate_cols`)."""
+    wb = y.shape[-1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, wb), 1)
+    left = y[..., :, MARGIN:MARGIN + 1]
+    right = y[..., :, MARGIN + w - 1:MARGIN + w]
+    y = jnp.where(col < MARGIN, left, y)
+    return jnp.where(col >= MARGIN + w, right, y)
+
+
 def _curve_maps_lowres(
     cnn_in: jnp.ndarray, cfg: PipelineConfig, params: Dict[str, Any]
 ) -> jnp.ndarray:
@@ -175,12 +192,13 @@ def enhance_learned_block(
     y = xf
 
     if cfg.method == "hybrid":
-        # Boost first (Zero-DCE-on-boosted convention). Roll-wrap corruption
-        # depth blur_radius at block edges stays >= cnn_radius+1 away from
-        # any consumed output by the halo sizing, and lands in the masked
-        # zone, so it can never reach the CNN or the output.
+        # Boost first (Zero-DCE-on-boosted convention). Roll-wrap row
+        # corruption stays >= cnn_radius+1 from consumed outputs by the halo
+        # sizing; the corrupted MARGIN *columns* are re-replicated below
+        # (replicate_margin_cols) so the CNN never sees wrapped content.
         y = pre_boosted if pre_boosted is not None \
             else illumination_boost(y, cfg)
+        y = replicate_margin_cols(y, w)
 
     cnn_in = _mask_extent(y if cfg.method == "hybrid" else xf, row0, h, w)
 
@@ -196,10 +214,10 @@ def enhance_learned_block(
             if ds in (2, 4):
                 maps_lo = _curve_maps_lowres(cnn_in, cfg, model_params)
                 return _fused_curve_tail(xb, maps_lo, cfg, halo, rows,
-                                         interpret, ds=ds)
+                                         interpret, ds=ds, img_w=w)
             return _fused_curve_tail(
                 xb, _curve_maps(cnn_in, cfg, model_params), cfg, halo, rows,
-                interpret,
+                interpret, img_w=w,
             )
         maps = _curve_maps(cnn_in, cfg, model_params)
         y = jnp.clip(apply_curves(y, maps), 0.0, 1.0)
@@ -277,6 +295,7 @@ def _fused_curve_tail(
     rows: int,
     interpret: bool,
     ds: int = 1,
+    img_w: int = 0,
 ) -> jnp.ndarray:
     """Route the raw block + curve maps through the fused Pallas tail
     (kernels.fused_enhance.fused_curve_enhance); u8 or f32 in/out.
@@ -325,7 +344,7 @@ def _fused_curve_tail(
             mode="edge",
         )
     out = fused_curve_enhance(sub, maps_sub, cfg, plan, interpret=interpret,
-                              ds=ds)[..., :rows, :]
+                              ds=ds, img_w=img_w)[..., :rows, :]
     return out[0] if single else out
 
 

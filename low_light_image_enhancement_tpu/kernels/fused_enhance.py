@@ -41,6 +41,20 @@ def kroll2d(x: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
     return x
 
 
+def _kreplicate_cols(y, margin, img_w):
+    """In-kernel mirror of ``blocks.replicate_margin_cols`` (two lane
+    selects): canvas cols [0, margin) := boosted image col 0, cols
+    [margin+img_w, Wp) := boosted image col img_w-1."""
+    import jax
+
+    wb = y.shape[-1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, wb), 1)
+    left = y[:, margin:margin + 1]
+    right = y[:, margin + img_w - 1:margin + img_w]
+    y = jnp.where(col < margin, left, y)
+    return jnp.where(col >= margin + img_w, right, y)
+
+
 def _finalize_plane(y, margin, th, u8_io):
     y = jnp.clip(y, 0.0, 1.0)[margin : margin + th, :]
     if u8_io:
@@ -92,7 +106,7 @@ def _retinex_kernel(
 def _curve_kernel(
     x_ref, m_ref, o_ref, *, boost, n_iter, radius, sigma, gamma, eps, inv2s2,
     strength, margin, th, u8_io, ds, dn_kind="exp", guide="perchannel",
-    taps="full",
+    taps="full", img_w=0,
 ):
     """Fused learned tail (BASELINE.json north_star conv-net fusion, tail
     half): u8 normalize -> optional retinex boost (hybrid) -> ``n_iter``
@@ -137,6 +151,8 @@ def _curve_kernel(
         y = x[c]
         if boost:
             y = jnp.clip(y * gain, 0.0, 1.0)
+            if img_w:  # restore the MARGIN column-replica invariant the
+                y = _kreplicate_cols(y, margin, img_w)  # wrap blur broke
         for i in range(n_iter):  # static unroll, as ops.curves.apply_curves
             a = maps[i * 3 + c]
             if ds > 1:
@@ -172,6 +188,7 @@ def fused_curve_enhance(
     plan: StripePlan,
     interpret: bool = False,
     ds: int = 1,
+    img_w: int = 0,
 ) -> jnp.ndarray:
     """Fused curve/hybrid tail over a padded planar batch.
 
@@ -225,6 +242,7 @@ def fused_curve_enhance(
         dn_kind=cfg.denoise_kernel,
         guide=cfg.denoise_guide,
         taps=cfg.denoise_taps,
+        img_w=img_w,
     )
     out = stripe_pallas_call(kernel, [x_stripes, m_stripes], plan, xp.dtype,
                              interpret=interpret)
@@ -250,8 +268,11 @@ def curve_plan_bytes_per_px(n_iter: int, ds: int = 1,
     temps live per iteration), so the working term is generous — a stripe
     that is too short only adds a little halo re-read. Sized against the
     14 MB plan budget so the scoped peak stays under Mosaic's 16 MB."""
-    # Measured scoped peaks (v5e): ds=1 ~189 B/px, ds=4 ~213 B/px.
-    base = n_iter * 3 * 4 // ds + (150 if ds == 1 else 216)
+    # Measured scoped peaks (v5e): ds=1 ~189 B/px, ds=4 ~213 B/px. The map
+    # planes are low-res on BOTH axes (1/ds^2 pixels each) since the
+    # in-kernel 2-D upsample landed; the flat working term carries the
+    # full-res temporaries the upsample keeps live.
+    base = n_iter * 3 * 4 // (ds * ds) + (150 if ds == 1 else 216)
     # luma guide additionally holds all 3 curve outputs + guide + accs live
     return base + (48 if guide == "luma" else 0)
 

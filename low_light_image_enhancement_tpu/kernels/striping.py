@@ -55,6 +55,20 @@ def plan_stripes(
     wp = _round_up(w + 2 * margin, 128)
     budget_rows = _VMEM_STRIPE_BUDGET // (bytes_per_px * wp) - 2 * margin
     cap = max(8, min(max_rows, (budget_rows // 8) * 8))
+    # The 8-row floor can silently exceed the budget for very wide frames
+    # with heavy kernels (e.g. curve n_iter=8 + luma guide at 4K width):
+    # Mosaic's scoped-vmem limit is a hard 16 MB, so fail HERE with a
+    # remedy instead of deep inside the Mosaic compile.
+    floor_bytes = bytes_per_px * (cap + 2 * margin) * wp
+    if floor_bytes > 16 * 1024 * 1024:
+        raise ValueError(
+            f"no VMEM-fitting stripe exists: width {w} x {bytes_per_px} "
+            f"B/px needs {floor_bytes / 2**20:.1f} MB even at the 8-row "
+            "minimum stripe (Mosaic scoped-vmem limit is 16 MB). Reduce "
+            "the kernel's resident footprint (denoise_guide='perchannel', "
+            "larger curve_downsample, fewer curve_iters) or shard the "
+            "frame spatially over more devices."
+        )
     s = max(1, -(-h // cap))
     th = _round_up(-(-h // s), 8)
     hp = s * th + 2 * margin

@@ -89,6 +89,12 @@ def enhance_spatial_sharded(
     Returns (B, 3, H, W) enhanced, same dtype as the input.
     """
     if cfg.method != "retinex":
+        if model_params is None:
+            raise ValueError(
+                f"method={cfg.method!r} needs model_params (e.g. "
+                "EnhancePipeline._default_params(cfg, seed) or trained "
+                "weights); only 'retinex' runs weight-free"
+            )
         return _enhance_learned_sharded(
             x, cfg, mesh, model_params, use_pallas, interpret
         )

@@ -95,13 +95,35 @@ class EnhanceServer:
         """Blocking convenience call."""
         return self.submit(img_u8).result()
 
-    def close(self) -> None:
+    def close(self, timeout: float = 600.0) -> None:
         with self._submit_lock:
             self._stop.set()
-        # Join without a timeout: the dispatcher drains every pending and
-        # queued request (compiling synchronously if it must) before exiting,
-        # so no Future is left unresolved and none is double-resolved.
-        self._thread.join()
+        # Normal path: the dispatcher drains every pending and queued request
+        # (compiling synchronously if it must) before exiting, so no Future
+        # is left unresolved. The bounded join + drain below is the safety
+        # net for a dispatcher that died (it fails its own futures on fatal
+        # errors, but belt-and-braces) or hung in a device call: everything
+        # still unresolved is failed, with done() guards so nothing is
+        # double-resolved.
+        self._thread.join(timeout=timeout)
+        err = RuntimeError(
+            "server closed with the dispatcher "
+            + ("hung" if self._thread.is_alive() else "dead")
+        )
+        try:
+            while True:
+                _, fut = self._q.get_nowait()
+                if not fut.done():
+                    fut.set_exception(err)
+        except queue.Empty:
+            pass
+        for items in list(self._pending.values()):
+            for _, fut in list(items):
+                if not fut.done():
+                    try:
+                        fut.set_exception(err)
+                    except Exception:
+                        pass  # lost a race with a late set_result
 
     def __enter__(self):
         return self
@@ -165,6 +187,18 @@ class EnhanceServer:
         return any(self._pending.values()) or not self._q.empty()
 
     def _dispatch(self) -> None:
+        try:
+            self._dispatch_loop()
+        except BaseException as e:  # dispatcher must never die silently:
+            # fail every outstanding future so callers unblock (close()'s
+            # drain is the second net for anything racing in)
+            for items in list(self._pending.values()):
+                for _, fut in list(items):
+                    if not fut.done():
+                        fut.set_exception(e)
+            raise
+
+    def _dispatch_loop(self) -> None:
         while not self._stop.is_set() or self._have_work():
             # pull new arrivals (block briefly only when nothing is pending)
             timeout = 0.002 if any(self._pending.values()) else 0.05
@@ -185,26 +219,36 @@ class EnhanceServer:
                 if not (full or due or closing):
                     continue
                 n = min(len(items), self._max_batch)
-                wkey = self._warm_key(n, key)
-                if not self._ensure_warm(wkey) and not closing:
-                    # cold shape: its compile runs in the background; fall
-                    # back to the largest already-warm batch bucket so this
-                    # group still progresses, and let other groups dispatch
+                b_target = self._b_pad(n)
+                # At close, skip the background-compile machinery entirely:
+                # _run_group compiles synchronously, and spawning a warmup
+                # thread here would duplicate that compile and race it.
+                if not closing and not self._ensure_warm(
+                    (b_target, *key)
+                ):
+                    # cold program: its compile runs in the background; keep
+                    # this group progressing on any already-warm bucket for
+                    # the shape — the smallest warm bucket that fits all n
+                    # (padding up wastes a little compute but serves NOW),
+                    # else the largest warm bucket below n (partial batch)
                     with self._warm_lock:
-                        ready = [
-                            b for b in self._batch_buckets
-                            if b <= n and (b, *key) in self._warm
-                        ]
-                    if not ready:
+                        warm_up = [b for b in self._batch_buckets
+                                   if b >= n and (b, *key) in self._warm]
+                        warm_dn = [b for b in self._batch_buckets
+                                   if b < n and (b, *key) in self._warm]
+                    if not warm_up and not warm_dn:
                         continue
-                    n = ready[-1]
+                    b_target = warm_up[0] if warm_up else warm_dn[-1]
+                    n = min(n, b_target)
                 take, rest = items[:n], items[n:]
                 self._pending[key] = rest
                 if rest:
                     self._since[key] = now
-                self._run_group(key[0], key[1], take)
+                self._run_group(key[0], key[1], take, b_target)
 
-    def _run_group(self, hb: int, wb: int, items: List) -> None:
+    def _run_group(
+        self, hb: int, wb: int, items: List, b_pad: Optional[int] = None
+    ) -> None:
         try:
             padded = np.stack([
                 np.pad(
@@ -214,7 +258,8 @@ class EnhanceServer:
                 )
                 for img, _ in items
             ])
-            b_pad = self._b_pad(len(items))
+            if b_pad is None:
+                b_pad = self._b_pad(len(items))
             if b_pad > len(items):
                 # replicate the last image up to the batch bucket so batch
                 # sizes hit a bounded set of compiled programs

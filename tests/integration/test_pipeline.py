@@ -126,3 +126,21 @@ def test_odd_sizes_pad_correctly():
         low, _ = synth_pair(3, h, w)
         out = llie.enhance(low)
         assert out.shape == (h, w, 3)
+
+
+def test_hybrid_left_edge_independent_of_right_edge_content():
+    """Boundary invariant (blocks.py module docstring): the wrap-roll blur
+    corrupts the MARGIN columns of the boosted canvas, and before the
+    replicate_margin_cols fix the hybrid CNN (radius >= 7 > MARGIN) read
+    them, so LEFT-edge output shifted with RIGHT-edge content. Two images
+    identical except in their right quarter must now produce identical
+    hybrid output in the left quarter."""
+    cfg = PipelineConfig(method="hybrid", curve_iters=2, curve_features=8)
+    pipe = EnhancePipeline(cfg, rng_seed=0, force_jnp=True)
+    rng = np.random.default_rng(5)
+    a = (rng.random((48, 96, 3)) * 80).astype(np.uint8)
+    b = a.copy()
+    b[:, 72:] = 255 - b[:, 72:]  # flip the right quarter
+    out_a = pipe.enhance(a)
+    out_b = pipe.enhance(b)
+    np.testing.assert_array_equal(out_a[:, :24], out_b[:, :24])

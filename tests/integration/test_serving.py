@@ -140,3 +140,30 @@ def test_server_close_drains_pending_requests():
     srv.close()  # long max_delay: items are still pending at close
     for im, f in zip(imgs, futs):
         np.testing.assert_array_equal(f.result(timeout=5), im)
+
+
+def test_server_pads_up_to_warm_larger_bucket_instead_of_compiling():
+    """A group whose natural batch bucket is cold must be served immediately
+    on an already-warm LARGER bucket (padded up) rather than stalling on a
+    fresh compile."""
+    import time
+
+    pipe = _FakePipe(compile_s=1.0)
+    srv = EnhanceServer(pipeline=pipe, max_delay_ms=2.0, max_batch=32)
+    try:
+        img = np.zeros((40, 60, 3), np.uint8)
+        futs = [srv.submit(img) for _ in range(32)]  # warms (32, 64, 64)
+        for f in futs:
+            f.result(timeout=30)
+        t0 = time.monotonic()
+        outs = [srv.submit(img) for _ in range(5)]  # bucket 16 is cold
+        for f in outs:
+            f.result(timeout=30)
+        took = time.monotonic() - t0
+        assert took < 0.8, (
+            f"5-request group stalled {took:.2f}s on a cold bucket-16 "
+            "compile despite a warm batch-32 program"
+        )
+        assert any(s[0] == 32 for _, s in pipe.calls[-3:]), pipe.calls[-3:]
+    finally:
+        srv.close()
