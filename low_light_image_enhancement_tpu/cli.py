@@ -23,7 +23,15 @@ def _add_config_args(p: argparse.ArgumentParser) -> None:
         default=None,
     )
     p.add_argument("--gamma", type=float, default=None)
+    p.add_argument("--decom-gamma", type=float, default=None,
+                   help="decom method's illumination exponent")
     p.add_argument("--denoise-strength", type=float, default=None)
+    p.add_argument("--denoise-taps", choices=["sep", "full"], default=None,
+                   help="sep (default, +37%% throughput) or full 3x3")
+    p.add_argument("--denoise-guide", choices=["luma", "perchannel"],
+                   default=None)
+    p.add_argument("--curve-downsample", type=int, choices=[1, 2, 4, 8],
+                   default=None, help="estimate curve maps at 1/N res")
     p.add_argument("--no-pallas", action="store_true",
                    help="force the pure-jnp reference path")
 
@@ -37,6 +45,11 @@ def _build_config(args) -> PipelineConfig:
         over["gamma"] = args.gamma
     if getattr(args, "denoise_strength", None) is not None:
         over["denoise_strength"] = args.denoise_strength
+    for name in ("decom_gamma", "denoise_taps", "denoise_guide",
+                 "curve_downsample"):
+        v = getattr(args, name, None)
+        if v is not None:
+            over[name] = v
     if args.no_pallas:
         over["use_pallas"] = False
     return cfg.replace(**over) if over else cfg
