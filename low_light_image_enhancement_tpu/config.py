@@ -81,7 +81,13 @@ class PipelineConfig:
     use_pallas: bool = True      # fuse the per-pixel graph into a Pallas kernel
     stripe_rows: int = 1024      # cap on Pallas stripe height (rows/grid step);
                                  # actual height is VMEM-budgeted (striping.py)
-    compute_dtype: str = "float32"
+    compute_dtype: str = "bfloat16"  # CNN conv compute dtype (the MXU-fed
+                                 # models: curve/fcn/decom). bf16 measured
+                                 # +45% fcn inference at IDENTICAL eval
+                                 # PSNR/SSIM (docs/PERFORMANCE.md); the
+                                 # fused kernels' per-pixel tap math stays
+                                 # f32 regardless. Set "float32" for the
+                                 # bit-exact-vs-f32-reference path.
 
     # --- sharding (config 5) -------------------------------------------------
     spatial_shards: int = 1      # >1: shard H across `spatial` mesh axis

@@ -129,7 +129,11 @@ def test_learned_spatial_sharded_matches_pipeline(method, n_spatial, h, w):
     from low_light_image_enhancement_tpu.data.synth import synth_batch
     from low_light_image_enhancement_tpu.pipeline import EnhancePipeline
 
-    cfg = PipelineConfig(method=method)
+    # f32 pinned: these tests bound the shard-vs-single u8 tie-flip rate at
+    # 1e-3, which holds for f32 FMA-reassociation noise; bf16 convs (the
+    # inference default) flip ~10% of pixels by 1 u8 for dtype reasons
+    # unrelated to sharding
+    cfg = PipelineConfig(method=method, compute_dtype="float32")
     pipe = EnhancePipeline(cfg, force_jnp=True)
     mesh = make_mesh(n_data=1, n_spatial=n_spatial)
     lows, _ = synth_batch(2, h, w)
@@ -156,7 +160,8 @@ def test_learned_spatial_sharded_downsampled_curves():
     from low_light_image_enhancement_tpu.data.synth import synth_batch
     from low_light_image_enhancement_tpu.pipeline import EnhancePipeline
 
-    cfg = PipelineConfig(method="curve", curve_downsample=2)
+    cfg = PipelineConfig(method="curve", curve_downsample=2,
+                         compute_dtype="float32")
     pipe = EnhancePipeline(cfg, force_jnp=True)
     mesh = make_mesh(n_data=1, n_spatial=2)
     lows, _ = synth_batch(1, 96, 80)
@@ -174,7 +179,7 @@ def test_learned_sharded_rejects_too_many_shards():
     """A shard must own at least the receptive-field halo's worth of rows."""
     from low_light_image_enhancement_tpu.pipeline import EnhancePipeline
 
-    cfg = PipelineConfig(method="fcn")
+    cfg = PipelineConfig(method="fcn", compute_dtype="float32")
     pipe = EnhancePipeline(cfg, force_jnp=True)
     mesh = make_mesh(n_data=1, n_spatial=8)
     x = jnp.zeros((1, 3, 64, 64), jnp.float32)
