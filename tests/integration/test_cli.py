@@ -26,6 +26,16 @@ def test_cli_enhance_with_overrides(tmp_path):
         "enhance", str(src), str(tmp_path / "o.png"),
         "--gamma", "0.6", "--no-pallas", "--method", "retinex",
     ]) == 0
+    assert main([
+        "enhance", str(src), str(tmp_path / "o2.png"),
+        "--method", "curve", "--curve-downsample", "2",
+        "--denoise-taps", "full", "--denoise-guide", "perchannel",
+        "--no-pallas",
+    ]) == 0
+    assert main([
+        "enhance", str(src), str(tmp_path / "o3.png"),
+        "--method", "decom", "--decom-gamma", "0.1", "--no-pallas",
+    ]) == 0
 
 
 def test_cli_eval_json_report(tmp_path, capsys, monkeypatch):
