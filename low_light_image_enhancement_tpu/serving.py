@@ -162,12 +162,14 @@ class EnhanceServer:
             self._pipe.warmup([(b, h, w)])
         except Exception:
             pass
-        with self._warm_lock:
-            # mark warm even on error: dispatch must proceed to surface the
-            # real exception on the requests' futures instead of retrying
-            # the compile forever
-            self._warm.add(wkey)
-            self._compiling.pop(wkey, None)
+        finally:
+            # mark warm even on error — INCLUDING BaseException, hence the
+            # finally: dispatch must proceed and surface the real exception
+            # on the requests' futures instead of starving the group behind
+            # a dead compile thread
+            with self._warm_lock:
+                self._warm.add(wkey)
+                self._compiling.pop(wkey, None)
 
     def _ensure_warm(self, wkey: Tuple[int, int, int]) -> bool:
         """True when the program is ready; kicks off a background compile
@@ -273,7 +275,12 @@ class EnhanceServer:
                 h, w, _ = img.shape
                 if not fut.done():
                     fut.set_result(res[:h, :w])
-        except Exception as e:
+        except BaseException as e:
             for _, fut in items:
                 if not fut.done():
                     fut.set_exception(e)
+            if not isinstance(e, Exception):
+                # fatal (SystemExit/KeyboardInterrupt-class): this group's
+                # futures are failed above; re-raise so _dispatch's handler
+                # fails everything still pending and the thread exits
+                raise

@@ -167,3 +167,24 @@ def test_server_pads_up_to_warm_larger_bucket_instead_of_compiling():
         assert any(s[0] == 32 for _, s in pipe.calls[-3:]), pipe.calls[-3:]
     finally:
         srv.close()
+
+
+def test_server_dispatcher_death_fails_futures_instead_of_hanging():
+    """Safety net: a fatal (BaseException) error escaping the dispatch loop
+    must fail every outstanding future — callers blocked on result() get the
+    exception instead of hanging forever, and close() returns."""
+    class _Boom(BaseException):
+        pass
+
+    class _FatalPipe(_FakePipe):
+        def enhance_batch_device(self, imgs):
+            raise _Boom("fatal device loss")
+
+    srv = EnhanceServer(pipeline=_FatalPipe(compile_s=0.0), max_delay_ms=1.0)
+    futs = [srv.submit(np.zeros((16, 16, 3), np.uint8)) for _ in range(3)]
+    for f in futs:
+        with pytest.raises(_Boom):  # the real error, not a result() timeout
+            f.result(timeout=10)
+    srv.close(timeout=10)
+    with pytest.raises(RuntimeError):
+        srv.submit(np.zeros((16, 16, 3), np.uint8))
