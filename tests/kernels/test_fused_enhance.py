@@ -97,3 +97,22 @@ def test_pipeline_pallas_interpret_matches_jnp_end_to_end():
     b = pal_pipe.enhance_batch(lows)
     # identical math -> at most a 1-count quantization flip anywhere
     assert np.abs(a.astype(np.int32) - b.astype(np.int32)).max() <= 1
+
+
+def test_plan_stripes_raises_when_no_stripe_fits_vmem():
+    """Very wide frames with heavy kernels must fail with a remedy message
+    at plan time, not as a Mosaic scoped-vmem OOM at compile time (review
+    finding r2: the 8-row floor silently exceeded the 16 MB limit for
+    curve n_iter=8 + luma at 4K width)."""
+    from low_light_image_enhancement_tpu.kernels.fused_enhance import (
+        curve_plan_bytes_per_px,
+    )
+
+    heavy = curve_plan_bytes_per_px(8, 4, "luma")  # 270 B/px
+    with pytest.raises(ValueError, match="no VMEM-fitting stripe"):
+        plan_stripes(2160, 3840, MARGIN, 1024, bytes_per_px=heavy)
+    # the perchannel variant of the same workload still plans
+    ok = plan_stripes(2160, 3840, MARGIN, 1024,
+                      bytes_per_px=curve_plan_bytes_per_px(8, 4,
+                                                           "perchannel"))
+    assert ok.n_stripes >= 1
