@@ -112,6 +112,7 @@ def _curve_maps_lowres(
     Returns (..., n_iter, 3, HB/ds, WB/ds) — NOT upsampled."""
     from low_light_image_enhancement_tpu.models.curve_cnn import (
         apply_curve_cnn,
+        apply_curve_cnn_gemm,
     )
 
     ds = cfg.curve_downsample
@@ -124,7 +125,9 @@ def _curve_maps_lowres(
         cnn_in = jax.image.resize(
             cnn_in, (*lead, hb // ds, wb // ds), method="bilinear"
         )
-    return apply_curve_cnn(
+    apply = apply_curve_cnn_gemm if cfg.conv_impl == "gemm" \
+        else apply_curve_cnn
+    return apply(
         params, cnn_in, n_iter=cfg.curve_iters,
         compute_dtype=jnp.dtype(cfg.compute_dtype),
     )
@@ -224,19 +227,26 @@ def enhance_learned_block(
         if u8_io and cfg.denoise_strength <= 0.0:
             return quantize_u8(y[..., halo : halo + rows, :])
     elif cfg.method == "fcn":
-        from low_light_image_enhancement_tpu.models.fcn import apply_fcn
+        from low_light_image_enhancement_tpu.models.fcn import (
+            apply_fcn,
+            apply_fcn_gemm,
+        )
 
+        apply = apply_fcn_gemm if cfg.conv_impl == "gemm" else apply_fcn
         y = jnp.clip(
-            apply_fcn(model_params, cnn_in,
-                      compute_dtype=jnp.dtype(cfg.compute_dtype)),
+            apply(model_params, cnn_in,
+                  compute_dtype=jnp.dtype(cfg.compute_dtype)),
             0.0, 1.0,
         )
     elif cfg.method == "decom":
         from low_light_image_enhancement_tpu.models.decom import (
             apply_decom_net,
+            apply_decom_net_gemm,
         )
 
-        r, l = apply_decom_net(
+        apply = apply_decom_net_gemm if cfg.conv_impl == "gemm" \
+            else apply_decom_net
+        r, l = apply(
             model_params, cnn_in, compute_dtype=jnp.dtype(cfg.compute_dtype)
         )
         l_boost = jnp.clip(l, cfg.illum_eps, 1.0) ** cfg.decom_gamma

@@ -89,6 +89,14 @@ class PipelineConfig:
                                  # f32 regardless. Set "float32" for the
                                  # bit-exact-vs-f32-reference path.
 
+    conv_impl: str = "xla"       # conv-stack lowering for the learned models:
+                                 # "xla": lax.conv_general_dilated as-is.
+                                 # "gemm": the MXU-shaped GEMM reformulation
+                                 # of ops/patch_conv.py — patch-GEMM
+                                 # (K=16*Cin, N=4*Cout) for the dilation-1
+                                 # stacks (curve/decom), im2col GEMM for the
+                                 # dilated fcn.
+
     # --- sharding (config 5) -------------------------------------------------
     spatial_shards: int = 1      # >1: shard H across `spatial` mesh axis
 
@@ -128,6 +136,10 @@ class PipelineConfig:
         if self.denoise_taps not in TAPS:
             raise ValueError(
                 f"denoise_taps must be one of {TAPS}: {self.denoise_taps!r}"
+            )
+        if self.conv_impl not in ("gemm", "xla"):
+            raise ValueError(
+                f"conv_impl must be 'gemm' or 'xla': {self.conv_impl!r}"
             )
         if self.curve_downsample not in (1, 2, 4, 8):
             raise ValueError(

@@ -78,6 +78,54 @@ def apply_curve_cnn(
     return a if batched else a[0]
 
 
+def apply_curve_cnn_gemm(
+    params: Params,
+    x: jnp.ndarray,
+    n_iter: int = 8,
+    compute_dtype: jnp.dtype = jnp.float32,
+) -> jnp.ndarray:
+    """MXU patch-GEMM variant of :func:`apply_curve_cnn` (same signature,
+    same math to f32 rounding). All seven 3x3 convs run as 2x2-output-block
+    GEMMs (K = 16*Cin, N = 4*Cout — exact 128-lane tiles at 32 features) on
+    space-to-depth packed activations; the image is packed once on entry and
+    unpacked once at exit. See ops/patch_conv.py for why this is ~3.6x the
+    MXU utilization of XLA's per-tap conv lowering at these widths."""
+    from low_light_image_enhancement_tpu.ops.patch_conv import (
+        conv2d_patch_gemm,
+        depth_to_space,
+        pack_bias,
+        pack_patch_weights,
+        space_to_depth,
+    )
+
+    batched = x.ndim == 4
+    if not batched:
+        x = x[None]
+    f = params["c1"]["w"].shape[-1]
+    nhwc = jnp.transpose(x, (0, 2, 3, 1))
+    xp = space_to_depth(nhwc).astype(compute_dtype)
+
+    def cv(name, h, groups):
+        p = params[name]
+        return conv2d_patch_gemm(
+            h, pack_patch_weights(p["w"], groups=groups), pack_bias(p["b"]),
+            compute_dtype, groups=groups,
+        )
+
+    x1 = jax.nn.relu(cv("c1", xp, (3,)))
+    x2 = jax.nn.relu(cv("c2", x1, (f,)))
+    x3 = jax.nn.relu(cv("c3", x2, (f,)))
+    x4 = jax.nn.relu(cv("c4", x3, (f,)))
+    x5 = jax.nn.relu(cv("c5", jnp.concatenate([x3, x4], -1), (f, f)))
+    x6 = jax.nn.relu(cv("c6", jnp.concatenate([x2, x5], -1), (f, f)))
+    a = jnp.tanh(cv("c7", jnp.concatenate([x1, x6], -1), (f, f)))
+    a = depth_to_space(a).astype(jnp.float32)  # (B, H, W, 3*it)
+
+    b, h, w, _ = a.shape
+    a = jnp.transpose(a, (0, 3, 1, 2)).reshape(b, n_iter, 3, h, w)
+    return a if batched else a[0]
+
+
 @dataclasses.dataclass(frozen=True)
 class CurveEstimatorCNN:
     """Convenience object bundling architecture hyperparams with init/apply."""

@@ -55,6 +55,43 @@ def apply_decom_net(
     return (r, l) if batched else (r[0], l[0])
 
 
+def apply_decom_net_gemm(
+    params: Params,
+    x: jnp.ndarray,
+    compute_dtype: jnp.dtype = jnp.float32,
+):
+    """MXU patch-GEMM variant of :func:`apply_decom_net` (same signature,
+    same math to f32 rounding); all five 3x3 convs run as 2x2-output-block
+    GEMMs on space-to-depth packed activations (ops/patch_conv.py)."""
+    from low_light_image_enhancement_tpu.ops.patch_conv import (
+        conv2d_patch_gemm,
+        depth_to_space,
+        pack_bias,
+        pack_patch_weights,
+        space_to_depth,
+    )
+
+    batched = x.ndim == 4
+    if not batched:
+        x = x[None]
+    mx = jnp.max(x, axis=1, keepdims=True)
+    nhwc = jnp.transpose(jnp.concatenate([x, mx], axis=1), (0, 2, 3, 1))
+    h = space_to_depth(nhwc).astype(compute_dtype)
+
+    def cv(name, t):
+        p = params[name]
+        return conv2d_patch_gemm(
+            t, pack_patch_weights(p["w"]), pack_bias(p["b"]), compute_dtype
+        )
+
+    for i in range(1, 5):
+        h = jax.nn.relu(cv(f"c{i}", h))
+    out = jax.nn.sigmoid(depth_to_space(cv("c5", h))).astype(jnp.float32)
+    out = jnp.transpose(out, (0, 3, 1, 2))  # (B, 4, H, W)
+    r, l = out[:, :3], out[:, 3:4]
+    return (r, l) if batched else (r[0], l[0])
+
+
 @dataclasses.dataclass(frozen=True)
 class DecomNet:
     features: int = 32

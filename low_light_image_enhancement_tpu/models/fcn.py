@@ -70,6 +70,52 @@ def apply_fcn(
     return out if batched else out[0]
 
 
+def apply_fcn_gemm(
+    params: Params,
+    x: jnp.ndarray,
+    compute_dtype: jnp.dtype = jnp.float32,
+) -> jnp.ndarray:
+    """im2col-GEMM variant of :func:`apply_fcn` (same signature, same math to
+    f32 rounding). Every 3x3 layer — dilated or not — runs as three
+    accumulated (M, 3*Cin) @ (3*Cin, Cout) GEMMs (K = 216 at 24 features:
+    ~16% MXU utilization vs ~3.5% for XLA's per-tap lowering; the dilated
+    layers' even dilations preserve pixel phase, so the higher-utilization
+    packed patch-GEMM form can't apply — see ops/patch_conv.py)."""
+    from low_light_image_enhancement_tpu.ops.patch_conv import (
+        conv2d_im2col_gemm,
+        pack_im2col_weights,
+    )
+
+    batched = x.ndim == 4
+    if not batched:
+        x = x[None]
+    depth = sum(1 for k in params if k.startswith("c"))
+    dils = _dilations(depth)
+    h = jnp.transpose(x, (0, 2, 3, 1)).astype(compute_dtype)
+    for i, dil in enumerate(dils, start=1):
+        p = params[f"c{i}"]
+        h = jax.nn.leaky_relu(
+            conv2d_im2col_gemm(
+                h, pack_im2col_weights(p["w"]), p["b"], compute_dtype,
+                dilation=dil,
+            ),
+            negative_slope=0.2,
+        )
+    # 1x1 head: a plain channel matmul
+    po = params["out"]
+    out = jax.nn.sigmoid(
+        jnp.einsum(
+            "bhwc,cn->bhwn",
+            h,
+            po["w"][0, 0].astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        )
+        + po["b"].astype(jnp.float32)
+    ).astype(jnp.float32)
+    out = jnp.transpose(out, (0, 3, 1, 2))
+    return out if batched else out[0]
+
+
 @dataclasses.dataclass(frozen=True)
 class EnhanceFCN:
     features: int = 24

@@ -46,6 +46,11 @@ def test_two_process_sharded_train_step(tmp_path):
     env = dict(os.environ)
     env["PALLAS_AXON_POOL_IPS"] = ""  # keep the axon TPU plugin out
     env.pop("JAX_PLATFORMS", None)
+    # The parent test session typically exports
+    # XLA_FLAGS=--xla_force_host_platform_device_count=8 (the fake-device
+    # idiom, SURVEY.md §4); inherited by the workers it would give each
+    # process 8 local devices and break the 2-device global mesh below.
+    env.pop("XLA_FLAGS", None)
     env["PYTHONPATH"] = os.getcwd() + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(

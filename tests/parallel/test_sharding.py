@@ -172,7 +172,14 @@ def test_learned_spatial_sharded_downsampled_curves():
         )
     )
     want = np.transpose(pipe.enhance_batch(lows), (0, 3, 1, 2))
-    np.testing.assert_array_equal(got, want)
+    # Grid alignment guarantees the resample consumes identical low-res map
+    # values on both paths, but NOT identical floats: as in the full-res test
+    # above, XLA contracts the f32 chain into different FMA trees inside
+    # shard_map vs the pipeline jit, and isolated u8 rounding ties flip
+    # (measured: 1 px in 23,040 on one box). Same documented bound as the
+    # sibling: |Δ| <= 1 u8 step on < 0.1% of pixels.
+    d = np.abs(got.astype(int) - want.astype(int))
+    assert d.max() <= 1 and (d > 0).mean() < 1e-3
 
 
 def test_learned_sharded_rejects_too_many_shards():
