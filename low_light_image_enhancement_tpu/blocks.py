@@ -105,7 +105,8 @@ def replicate_margin_cols(y: jnp.ndarray, w: int) -> jnp.ndarray:
 
 
 def _curve_maps_lowres(
-    cnn_in: jnp.ndarray, cfg: PipelineConfig, params: Dict[str, Any]
+    cnn_in: jnp.ndarray, cfg: PipelineConfig, params: Dict[str, Any],
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """Estimate LE-curve maps on the (masked) block at 1/ds resolution
     (near-lossless FLOP cut: the maps are smooth by the TV training loss).
@@ -113,6 +114,7 @@ def _curve_maps_lowres(
     from low_light_image_enhancement_tpu.models.curve_cnn import (
         apply_curve_cnn,
         apply_curve_cnn_gemm,
+        apply_curve_cnn_pallas,
     )
 
     ds = cfg.curve_downsample
@@ -125,6 +127,11 @@ def _curve_maps_lowres(
         cnn_in = jax.image.resize(
             cnn_in, (*lead, hb // ds, wb // ds), method="bilinear"
         )
+    if cfg.conv_impl == "pallas":
+        return apply_curve_cnn_pallas(
+            params, cnn_in, n_iter=cfg.curve_iters,
+            compute_dtype=jnp.dtype(cfg.compute_dtype), interpret=interpret,
+        )
     apply = apply_curve_cnn_gemm if cfg.conv_impl == "gemm" \
         else apply_curve_cnn
     return apply(
@@ -134,7 +141,8 @@ def _curve_maps_lowres(
 
 
 def _curve_maps(
-    cnn_in: jnp.ndarray, cfg: PipelineConfig, params: Dict[str, Any]
+    cnn_in: jnp.ndarray, cfg: PipelineConfig, params: Dict[str, Any],
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """Full-resolution LE-curve maps: low-res estimate + the integer-factor
     bilinear upsample of record (``ops.filters.upsample_int``, cols then
@@ -145,7 +153,7 @@ def _curve_maps(
         upsample_int,
     )
 
-    maps = _curve_maps_lowres(cnn_in, cfg, params)
+    maps = _curve_maps_lowres(cnn_in, cfg, params, interpret=interpret)
     ds = cfg.curve_downsample
     if ds > 1:
         maps = upsample_int(maps, ds, axis=-1, shift_fn=shift2d)
@@ -188,6 +196,10 @@ def enhance_learned_block(
         quantize_u8,
     )
 
+    if cfg.conv_impl == "pallas" and not (use_pallas or interpret):
+        # Pallas conv needs a TPU (or interpret mode); degrade to XLA convs
+        # so the same config runs everywhere (mirrors the tail-kernel gate).
+        cfg = cfg.replace(conv_impl="xla")
     halo = learned_halo(cfg)
     rows = xb.shape[-2] - 2 * halo
     u8_io = xb.dtype == jnp.uint8
@@ -215,14 +227,16 @@ def enhance_learned_block(
             # cols, both upsampled inside the kernel): ds^2 x less map
             # traffic and no XLA upsample pass at all.
             if ds in (2, 4):
-                maps_lo = _curve_maps_lowres(cnn_in, cfg, model_params)
+                maps_lo = _curve_maps_lowres(cnn_in, cfg, model_params,
+                                             interpret=interpret)
                 return _fused_curve_tail(xb, maps_lo, cfg, halo, rows,
                                          interpret, ds=ds, img_w=w)
             return _fused_curve_tail(
-                xb, _curve_maps(cnn_in, cfg, model_params), cfg, halo, rows,
-                interpret, img_w=w,
+                xb, _curve_maps(cnn_in, cfg, model_params,
+                                interpret=interpret),
+                cfg, halo, rows, interpret, img_w=w,
             )
-        maps = _curve_maps(cnn_in, cfg, model_params)
+        maps = _curve_maps(cnn_in, cfg, model_params, interpret=interpret)
         y = jnp.clip(apply_curves(y, maps), 0.0, 1.0)
         if u8_io and cfg.denoise_strength <= 0.0:
             return quantize_u8(y[..., halo : halo + rows, :])
@@ -230,25 +244,40 @@ def enhance_learned_block(
         from low_light_image_enhancement_tpu.models.fcn import (
             apply_fcn,
             apply_fcn_gemm,
+            apply_fcn_pallas,
         )
 
-        apply = apply_fcn_gemm if cfg.conv_impl == "gemm" else apply_fcn
-        y = jnp.clip(
-            apply(model_params, cnn_in,
-                  compute_dtype=jnp.dtype(cfg.compute_dtype)),
-            0.0, 1.0,
-        )
+        if cfg.conv_impl == "pallas":
+            y = apply_fcn_pallas(
+                model_params, cnn_in,
+                compute_dtype=jnp.dtype(cfg.compute_dtype),
+                interpret=interpret,
+            )
+        else:
+            apply = apply_fcn_gemm if cfg.conv_impl == "gemm" else apply_fcn
+            y = apply(model_params, cnn_in,
+                      compute_dtype=jnp.dtype(cfg.compute_dtype))
+        y = jnp.clip(y, 0.0, 1.0)
     elif cfg.method == "decom":
         from low_light_image_enhancement_tpu.models.decom import (
             apply_decom_net,
             apply_decom_net_gemm,
+            apply_decom_net_pallas,
         )
 
-        apply = apply_decom_net_gemm if cfg.conv_impl == "gemm" \
-            else apply_decom_net
-        r, l = apply(
-            model_params, cnn_in, compute_dtype=jnp.dtype(cfg.compute_dtype)
-        )
+        if cfg.conv_impl == "pallas":
+            r, l = apply_decom_net_pallas(
+                model_params, cnn_in,
+                compute_dtype=jnp.dtype(cfg.compute_dtype),
+                interpret=interpret,
+            )
+        else:
+            apply = apply_decom_net_gemm if cfg.conv_impl == "gemm" \
+                else apply_decom_net
+            r, l = apply(
+                model_params, cnn_in,
+                compute_dtype=jnp.dtype(cfg.compute_dtype),
+            )
         l_boost = jnp.clip(l, cfg.illum_eps, 1.0) ** cfg.decom_gamma
         y = jnp.clip(r * l_boost, 0.0, 1.0)
     else:
@@ -306,6 +335,7 @@ def _fused_curve_tail(
     interpret: bool,
     ds: int = 1,
     img_w: int = 0,
+    gain: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Route the raw block + curve maps through the fused Pallas tail
     (kernels.fused_enhance.fused_curve_enhance); u8 or f32 in/out.
@@ -327,6 +357,8 @@ def _fused_curve_tail(
     single = xb.ndim == 3
     if single:
         xb, maps = xb[None], maps[None]
+        if gain is not None:
+            gain = gain[None]
     wb = xb.shape[-1]
     plan = plan_stripes(
         rows, wb - 2 * MARGIN, MARGIN, cfg.stripe_rows,
@@ -340,6 +372,15 @@ def _fused_curve_tail(
             sub, ((0, 0),) * (sub.ndim - 2) + ((0, extra), (0, 0)),
             mode="edge",
         )
+    gain_sub = None
+    if gain is not None:
+        gain_sub = gain[..., halo - MARGIN : halo + rows + MARGIN, :]
+        if extra:
+            gain_sub = jnp.pad(
+                gain_sub,
+                ((0, 0),) * (gain_sub.ndim - 2) + ((0, extra), (0, 0)),
+                mode="edge",
+            )
     lo0 = (halo - MARGIN) // ds
     lo_rows = plan.padded_h // ds
     avail = maps.shape[-2]
@@ -354,7 +395,8 @@ def _fused_curve_tail(
             mode="edge",
         )
     out = fused_curve_enhance(sub, maps_sub, cfg, plan, interpret=interpret,
-                              ds=ds, img_w=img_w)[..., :rows, :]
+                              ds=ds, img_w=img_w,
+                              gain=gain_sub)[..., :rows, :]
     return out[0] if single else out
 
 

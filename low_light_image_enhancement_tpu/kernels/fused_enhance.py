@@ -64,13 +64,23 @@ def _finalize_plane(y, margin, th, u8_io):
 
 
 def _retinex_kernel(
-    x_ref, o_ref, *, radius, sigma, gamma, eps, inv2s2, strength, margin, th,
+    x_ref, *refs, radius, sigma, gamma, eps, inv2s2, strength, margin, th,
     u8_io, dn_kind="exp", guide="perchannel", taps="full",
-    stages=("blur", "boost", "denoise"),
+    stages=("blur", "boost", "denoise"), ext_gain=False,
 ):
     """``stages`` gates the pipeline's compute stages so the per-stage
     device-time tool (scripts/profile_stages.py) can compile truncated
-    variants and difference their rates; production always passes all."""
+    variants and difference their rates; production always passes all.
+
+    ``ext_gain``: an extra f32 gain-plane stripe input precedes the output
+    ref; the kernel applies ``y = x * gain`` instead of computing the
+    illumination boost — the temporally-EMA'd video path's seam
+    (video.video_step computes the gain from the smoothed illumination in
+    XLA and the kernel keeps the u8 fast path + fused denoise)."""
+    if ext_gain:
+        g_ref, o_ref = refs
+    else:
+        (o_ref,) = refs
     raw = x_ref[0, 0]  # (3, THh, Wp)
     if u8_io:
         # Mosaic has no direct u8<->f32 cast; bridge through int32.
@@ -78,7 +88,9 @@ def _retinex_kernel(
     else:
         x = raw
     boost = None
-    if "boost" in stages or "blur" in stages:
+    if ext_gain:
+        boost = g_ref[0, 0, 0]  # (THh, Wp) f32
+    elif "boost" in stages or "blur" in stages:
         l0 = jnp.maximum(jnp.maximum(x[0], x[1]), x[2])
         l = jnp.clip(separable_blur(l0, radius, sigma, kroll2d), eps, 1.0) \
             if "blur" in stages else jnp.clip(l0, eps, 1.0)
@@ -104,9 +116,9 @@ def _retinex_kernel(
 
 
 def _curve_kernel(
-    x_ref, m_ref, o_ref, *, boost, n_iter, radius, sigma, gamma, eps, inv2s2,
+    x_ref, m_ref, *refs, boost, n_iter, radius, sigma, gamma, eps, inv2s2,
     strength, margin, th, u8_io, ds, dn_kind="exp", guide="perchannel",
-    taps="full", img_w=0,
+    taps="full", img_w=0, ext_gain=False,
 ):
     """Fused learned tail (BASELINE.json north_star conv-net fusion, tail
     half): u8 normalize -> optional retinex boost (hybrid) -> ``n_iter``
@@ -124,6 +136,10 @@ def _curve_kernel(
     the crop discards — bit-exact on consumed pixels."""
     from low_light_image_enhancement_tpu.ops.filters import upsample_phase
 
+    if ext_gain:
+        g_ref, o_ref = refs
+    else:
+        (o_ref,) = refs
     raw = x_ref[0, 0]   # (3, THh, Wp)
     maps = m_ref[0, 0]  # (n_iter*3, THh/ds, Wp/ds) f32
     if u8_io:
@@ -140,7 +156,13 @@ def _curve_kernel(
         f_up = upsample_phase(raw.shape[-2:], ds, 0, jnp.float32)
         f_com = 1.0 - f_up
         half = ds // 2
-    if boost:
+    if ext_gain:
+        # Temporally-EMA'd gain plane from video.video_step; already carries
+        # the MARGIN column-replica invariant, so _kreplicate_cols is skipped.
+        gain = g_ref[0, 0, 0]
+        boost = True
+        img_w = 0
+    elif boost:
         l0 = jnp.maximum(jnp.maximum(x[0], x[1]), x[2])
         l = jnp.clip(separable_blur(l0, radius, sigma, kroll2d), eps, 1.0)
         gain = jnp.exp((gamma - 1.0) * jnp.log(l))
@@ -189,6 +211,7 @@ def fused_curve_enhance(
     interpret: bool = False,
     ds: int = 1,
     img_w: int = 0,
+    gain: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Fused curve/hybrid tail over a padded planar batch.
 
@@ -225,6 +248,15 @@ def fused_curve_enhance(
         )
     m_stripes = jnp.transpose(extract_stripes(maps_flat, lo_plan),
                               (0, 2, 1, 3, 4))
+    inputs = [x_stripes, m_stripes]
+    if gain is not None:
+        # (B, Hp, Wp) externally-computed boost plane (video EMA path)
+        inputs.append(
+            jnp.transpose(
+                extract_stripes(gain[:, None].astype(jnp.float32), plan),
+                (0, 2, 1, 3, 4),
+            )
+        )
     kernel = functools.partial(
         _curve_kernel,
         boost=cfg.method == "hybrid",
@@ -243,8 +275,9 @@ def fused_curve_enhance(
         guide=cfg.denoise_guide,
         taps=cfg.denoise_taps,
         img_w=img_w,
+        ext_gain=gain is not None,
     )
-    out = stripe_pallas_call(kernel, [x_stripes, m_stripes], plan, xp.dtype,
+    out = stripe_pallas_call(kernel, inputs, plan, xp.dtype,
                              interpret=interpret)
     return merge_stripes(out, plan)
 
@@ -283,6 +316,7 @@ def fused_retinex(
     plan: StripePlan,
     interpret: bool = False,
     stages=("blur", "boost", "denoise"),
+    gain: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Run the fused kernel over a padded planar batch.
 
@@ -301,6 +335,14 @@ def fused_retinex(
     u8_io = xp.dtype == jnp.uint8
     stripes = extract_stripes(xp, plan)  # (B, 3, S, THh, Wp)
     stripes = jnp.transpose(stripes, (0, 2, 1, 3, 4))  # (B, S, 3, THh, Wp)
+    inputs = stripes
+    if gain is not None:
+        # (B, Hp, Wp) f32 -> (B, S, 1, THh, Wp) stripes alongside the image
+        g_stripes = jnp.transpose(
+            extract_stripes(gain[:, None].astype(jnp.float32), plan),
+            (0, 2, 1, 3, 4),
+        )
+        inputs = [stripes, g_stripes]
 
     kernel = functools.partial(
         _retinex_kernel,
@@ -317,7 +359,8 @@ def fused_retinex(
         guide=cfg.denoise_guide,
         taps=cfg.denoise_taps,
         stages=tuple(stages),
+        ext_gain=gain is not None,
     )
-    out = stripe_pallas_call(kernel, stripes, plan, xp.dtype,
+    out = stripe_pallas_call(kernel, inputs, plan, xp.dtype,
                              interpret=interpret)
     return merge_stripes(out, plan)

@@ -38,6 +38,11 @@ from low_light_image_enhancement_tpu.pipeline import EnhancePipeline
 ShapeKey = Tuple[int, int]
 
 
+class ServerSaturated(RuntimeError):
+    """Raised by ``submit`` when ``max_queue`` is reached under the
+    ``overflow='reject'`` policy."""
+
+
 class EnhanceServer:
     def __init__(
         self,
@@ -46,7 +51,18 @@ class EnhanceServer:
         max_batch: int = 32,
         max_delay_ms: float = 5.0,
         bucket: int = 64,
+        max_queue: Optional[int] = None,
+        overflow: str = "block",
     ):
+        """``max_queue``: bound on in-flight requests (queued + batching +
+        dispatched). ``overflow``: what a full server does to ``submit`` —
+        ``"block"`` (backpressure the producer until capacity frees) or
+        ``"reject"`` (raise :class:`ServerSaturated` immediately). ``None``
+        keeps the round-2 unbounded behavior."""
+        if overflow not in ("block", "reject"):
+            raise ValueError(
+                f"overflow must be 'block' or 'reject': {overflow!r}"
+            )
         self._pipe = pipeline or EnhancePipeline(config, bucket=bucket)
         if getattr(self._pipe, "bucket", None) is None:
             self._pipe.bucket = bucket
@@ -62,6 +78,13 @@ class EnhanceServer:
             b *= 4
         self._batch_buckets.append(max_batch)
         self._q: "queue.Queue" = queue.Queue()
+        # request-capacity bound: acquired per submit, released when the
+        # request's Future resolves (every path — result, error, close-drain
+        # — resolves each future exactly once)
+        self._capacity = (
+            threading.BoundedSemaphore(max_queue) if max_queue else None
+        )
+        self._overflow = overflow
         self._stop = threading.Event()
         # serializes submit-vs-close so a request can't slip into the queue
         # after close() drains it (its Future would never resolve)
@@ -84,11 +107,26 @@ class EnhanceServer:
         img_u8 = np.asarray(img_u8)
         if img_u8.ndim != 3 or img_u8.shape[-1] != 3:
             raise ValueError(f"expected RGB (H,W,3), got {img_u8.shape}")
+        if self._capacity is not None:
+            # acquire BEFORE _submit_lock so a blocked producer can't hold
+            # the lock against close(); pairs with exactly one release via
+            # the future's done-callback
+            if not self._capacity.acquire(
+                blocking=self._overflow == "block"
+            ):
+                raise ServerSaturated(
+                    "server at max_queue in-flight requests "
+                    "(overflow='reject')"
+                )
         fut: "Future[np.ndarray]" = Future()
+        if self._capacity is not None:
+            fut.add_done_callback(lambda _f: self._capacity.release())
         with self._submit_lock:
             if self._stop.is_set():
+                if not fut.done():
+                    fut.cancel()  # fires the callback -> capacity released
                 raise RuntimeError("server closed")
-            self._q.put((img_u8, fut))  # unbounded queue: never blocks
+            self._q.put((img_u8, fut))
         return fut
 
     def enhance(self, img_u8: np.ndarray) -> np.ndarray:

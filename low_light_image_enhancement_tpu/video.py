@@ -16,8 +16,15 @@ average across frames:
 Functional core (``video_step``) is jit-compatible with explicit carry state
 and runs on the same halo'd row block as ``blocks.enhance_learned_block``;
 ``VideoEnhancer`` wraps it with a Python-side state holder and the u8 HWC
-API. jnp path (no Pallas) — the EMA makes the graph stateful, so it rides
-XLA fusion instead of the stateless fused kernel.
+API.
+
+TPU fast path (round 3, VERDICT r2 item 4): the EMA state is the *compact*
+temporal quantity — the illumination plane for retinex/hybrid, the 1/ds
+low-res curve maps for curve (ds^2 x smaller than the round-2 full-res map
+carry: 16x at ds=4) — and the per-pixel tail (normalize -> gain/curves ->
+denoise -> quantize) runs in the fused Pallas kernels via their external-
+gain/low-res-map inputs, u8 end-to-end. The jnp path remains for CPU and as
+the parity reference.
 """
 
 from __future__ import annotations
@@ -30,10 +37,13 @@ import numpy as np
 
 from low_light_image_enhancement_tpu.blocks import (
     _curve_maps,
+    _curve_maps_lowres,
+    _fused_curve_tail,
     _mask_extent,
     block_geometry,
     enhance_learned_block,
     learned_halo,
+    replicate_margin_cols,
 )
 from low_light_image_enhancement_tpu.config import MARGIN, PipelineConfig
 from low_light_image_enhancement_tpu.ops.colorspace import (
@@ -63,6 +73,43 @@ def _denoise_tail(y: jnp.ndarray, cfg: PipelineConfig) -> jnp.ndarray:
     return jnp.clip(y, 0.0, 1.0)
 
 
+def _fused_gain_tail(
+    xb: jnp.ndarray,
+    gain: jnp.ndarray,
+    cfg: PipelineConfig,
+    halo: int,
+    rows: int,
+    interpret: bool,
+) -> jnp.ndarray:
+    """Retinex-video tail through the fused kernel: u8 normalize ->
+    ``y = x * gain`` (the EMA'd boost plane) -> bilateral denoise -> u8
+    quantize, all VMEM-resident (fused_enhance ext_gain seam)."""
+    from low_light_image_enhancement_tpu.kernels.fused_enhance import (
+        fused_retinex,
+        retinex_plan_bytes_per_px,
+    )
+    from low_light_image_enhancement_tpu.kernels.striping import plan_stripes
+
+    single = xb.ndim == 3
+    if single:
+        xb, gain = xb[None], gain[None]
+    wb = xb.shape[-1]
+    plan = plan_stripes(
+        rows, wb - 2 * MARGIN, MARGIN, cfg.stripe_rows,
+        bytes_per_px=retinex_plan_bytes_per_px(cfg) + 8,  # + gain plane
+    )
+    sub = xb[..., halo - MARGIN : halo + rows + MARGIN, :]
+    gsub = gain[..., halo - MARGIN : halo + rows + MARGIN, :]
+    extra = plan.padded_h - (rows + 2 * MARGIN)
+    if extra:
+        pads = ((0, extra), (0, 0))
+        sub = jnp.pad(sub, ((0, 0),) * (sub.ndim - 2) + pads, mode="edge")
+        gsub = jnp.pad(gsub, ((0, 0),) * (gsub.ndim - 2) + pads, mode="edge")
+    out = fused_retinex(sub, cfg, plan, interpret=interpret,
+                        gain=gsub)[..., :rows, :]
+    return out[0] if single else out
+
+
 def video_step(
     state: State,
     xb: jnp.ndarray,
@@ -71,51 +118,107 @@ def video_step(
     model_params: Optional[Dict[str, Any]] = None,
     h: Optional[int] = None,
     w: Optional[int] = None,
+    use_pallas: bool = False,
+    interpret: bool = False,
 ) -> Tuple[State, jnp.ndarray]:
-    """One frame on a halo'd block (3, HB, WB) f32 (blocks.py layout).
+    """One frame on a halo'd block (3, HB, WB) — f32 in [0, 1], or uint8
+    (the TPU fast path: the per-pixel tail runs in the fused Pallas kernels
+    when ``use_pallas``; output dtype matches the input).
 
     ``alpha`` is the new-frame weight of the EMA (1.0 = no smoothing = the
-    stateless pipeline). Returns the enhanced interior rows
-    (3, HB - 2*halo, WB); columns are cropped by the caller.
+    stateless pipeline). The carry is the compact temporal quantity: the
+    (HB, WB) illumination plane for retinex/hybrid, the (n_iter, 3, HB/ds,
+    WB/ds) LOW-RES curve maps for curve — EMA-then-upsample equals
+    upsample-then-EMA (both linear), so downsampled smoothing loses nothing
+    while cutting the carry (and its HBM traffic) by ds^2 (VERDICT r2
+    item 4: the round-2 full-res carry was ~0.8 GB/stream at 4K).
+    Returns (new_state, enhanced interior rows (3, HB - 2*halo, WB));
+    columns are cropped by the caller.
     """
     initialized, carry = state
+    if cfg.conv_impl == "pallas" and not (use_pallas or interpret):
+        cfg = cfg.replace(conv_impl="xla")  # same gate as the block graph
     halo = learned_halo(cfg)
     rows = xb.shape[-2] - 2 * halo
     if h is None:
         h = rows
     if w is None:
         w = xb.shape[-1] - 2 * MARGIN
+    u8_io = xb.dtype == jnp.uint8
+    xf = normalize_u8(xb) if u8_io else xb
+
+    def _finish(y):
+        y = y[..., halo : halo + rows, :]
+        return quantize_u8(y) if u8_io else y
 
     if cfg.method in ("retinex", "hybrid"):
-        l_now = _illum(xb, cfg)
+        l_now = _illum(xf, cfg)
         l_mix = jnp.where(initialized, alpha * l_now + (1.0 - alpha) * carry,
                           l_now)
         # Reflectance from the PER-FRAME illumination (cancels frame-to-frame
         # flicker in the input), re-lit with the temporally-smoothed EMA
         # illumination: out = (x / L_now) * L_ema**gamma. At alpha=1 this is
-        # exactly the stateless x * L**(gamma-1) path.
+        # the stateless x * L**(gamma-1) path (same value, one extra log).
         l_now_safe = jnp.clip(l_now, cfg.illum_eps, 1.0)
         l_mix_safe = jnp.clip(l_mix, cfg.illum_eps, 1.0)
-        boost = jnp.exp(cfg.gamma * jnp.log(l_mix_safe) - jnp.log(l_now_safe))
-        y = jnp.clip(xb * boost[..., None, :, :], 0.0, 1.0)
+        gain = jnp.exp(cfg.gamma * jnp.log(l_mix_safe) - jnp.log(l_now_safe))
+        # the blur wraps MARGIN cols at the canvas edge; restore the
+        # column-replica invariant before anything consumes the gain
+        gain = replicate_margin_cols(gain, w)
+        new_state = (jnp.ones_like(initialized), l_mix)
+
         if cfg.method == "hybrid":
+            boosted = jnp.clip(xf * gain[..., None, :, :], 0.0, 1.0)
+            if use_pallas:
+                ds = cfg.curve_downsample
+                cnn_in = _mask_extent(boosted, -halo, h, w)
+                if ds in (2, 4):
+                    maps = _curve_maps_lowres(cnn_in, cfg, model_params)
+                else:
+                    maps, ds = _curve_maps(cnn_in, cfg, model_params), 1
+                return new_state, _fused_curve_tail(
+                    xb, maps, cfg, halo, rows, interpret, ds=ds, gain=gain
+                )
             out = enhance_learned_block(
-                xb, cfg, model_params, row0=-halo, h=h, w=w, pre_boosted=y
+                xb, cfg, model_params, row0=-halo, h=h, w=w,
+                pre_boosted=boosted,
             )
-            return (jnp.ones_like(initialized), l_mix), out
-        y = _denoise_tail(y, cfg)
-        return (jnp.ones_like(initialized), l_mix), \
-            y[..., halo : halo + rows, :]
+            return new_state, out
+        if use_pallas:
+            return new_state, _fused_gain_tail(
+                xb, gain, cfg, halo, rows, interpret
+            )
+        y = _denoise_tail(jnp.clip(xf * gain[..., None, :, :], 0.0, 1.0), cfg)
+        return new_state, _finish(y)
 
     if cfg.method == "curve":
-        cnn_in = _mask_extent(xb, -halo, h, w)
-        maps_now = _curve_maps(cnn_in, cfg, model_params)
+        cnn_in = _mask_extent(xf, -halo, h, w)
+        ds = cfg.curve_downsample
+        maps_now = _curve_maps_lowres(cnn_in, cfg, model_params)
         maps = jnp.where(initialized,
                          alpha * maps_now + (1.0 - alpha) * carry, maps_now)
-        y = jnp.clip(apply_curves(xb, maps), 0.0, 1.0)
-        y = _denoise_tail(y, cfg)
-        return (jnp.ones_like(initialized), maps), \
-            y[..., halo : halo + rows, :]
+        new_state = (jnp.ones_like(initialized), maps)
+        if use_pallas and ds in (1, 2, 4):
+            return new_state, _fused_curve_tail(
+                xb, maps, cfg, halo, rows, interpret, ds=ds, img_w=w,
+            )
+        if ds > 1:  # ds=8: XLA upsample, then the ds=1 tail/jnp path
+            from low_light_image_enhancement_tpu.ops.filters import (
+                shift2d,
+                upsample_int,
+            )
+
+            maps_full = upsample_int(maps, ds, axis=-1, shift_fn=shift2d)
+            maps_full = upsample_int(maps_full, ds, axis=-2, shift_fn=shift2d)
+        else:
+            maps_full = maps
+        if use_pallas:
+            return new_state, _fused_curve_tail(
+                xb, maps_full, cfg, halo, rows, interpret, ds=1, img_w=w,
+            )
+        y = _denoise_tail(jnp.clip(apply_curves(xf, maps_full), 0.0, 1.0),
+                          cfg)
+        return new_state, _finish(y)
 
     raise ValueError(
         f"video path supports methods {_VIDEO_METHODS} (no temporal carry "
@@ -134,7 +237,9 @@ class VideoEnhancer:
 
     def __init__(self, config: PipelineConfig = PipelineConfig(),
                  alpha: float = 0.3,
-                 model_params: Optional[Dict[str, Any]] = None):
+                 model_params: Optional[Dict[str, Any]] = None,
+                 force_jnp: bool = False,
+                 pallas_interpret: bool = False):
         if config.method not in _VIDEO_METHODS:
             raise ValueError(
                 f"video path supports methods {_VIDEO_METHODS}, got "
@@ -150,12 +255,26 @@ class VideoEnhancer:
 
             model_params = EnhancePipeline._default_params(config, 0)
         self.model_params = model_params
+        backend = jax.default_backend()
+        self._use_pallas = config.use_pallas and not force_jnp and (
+            backend == "tpu" or pallas_interpret
+        )
+        self._pallas_interpret = pallas_interpret and backend != "tpu"
         self._state: Optional[State] = None
         self._step = None
         self._shape: Optional[Tuple[int, int]] = None
 
     def reset(self) -> None:
         self._state = None
+
+    @property
+    def carry_bytes(self) -> int:
+        """EMA carry size in bytes (after the first `process` call) — the
+        compact temporal state: illumination plane (retinex/hybrid) or 1/ds
+        low-res curve maps (curve)."""
+        if self._shape is None:
+            raise RuntimeError("carry_bytes is defined after a first frame")
+        return int(np.prod(self._carry_shape)) * 4
 
     def process(self, frame_u8: np.ndarray) -> np.ndarray:
         frame_u8 = np.asarray(frame_u8)
@@ -166,19 +285,28 @@ class VideoEnhancer:
             halo = learned_halo(cfg)
             h_core, wp = block_geometry(cfg, h, w)
             params = self.model_params
+            use_pallas = self._use_pallas
+            interp = self._pallas_interpret
 
             def step(state, u8):
-                x = jnp.transpose(normalize_u8(u8), (2, 0, 1))
+                x = jnp.transpose(u8, (2, 0, 1))
                 xb = jnp.pad(
                     x, ((0, 0), (halo, halo + h_core - h), (m, wp - w - m)),
                     mode="edge",
                 )
-                state, yb = video_step(state, xb, cfg, alpha, params, h, w)
-                out = quantize_u8(yb[:, :h, m : m + w])
+                if not use_pallas:
+                    xb = normalize_u8(xb)
+                state, yb = video_step(state, xb, cfg, alpha, params, h, w,
+                                       use_pallas=use_pallas,
+                                       interpret=interp)
+                out = yb[:, :h, m : m + w]
+                if out.dtype != jnp.uint8:
+                    out = quantize_u8(out)
                 return state, jnp.transpose(out, (1, 2, 0))
 
+            ds = cfg.curve_downsample
             self._carry_shape = (
-                (cfg.curve_iters, 3, h_core + 2 * halo, wp)
+                (cfg.curve_iters, 3, (h_core + 2 * halo) // ds, wp // ds)
                 if cfg.method == "curve"
                 else (h_core + 2 * halo, wp)
             )

@@ -188,3 +188,76 @@ def test_server_dispatcher_death_fails_futures_instead_of_hanging():
     srv.close(timeout=10)
     with pytest.raises(RuntimeError):
         srv.submit(np.zeros((16, 16, 3), np.uint8))
+
+
+class _BlockingPipe:
+    """Pipeline stand-in whose device call blocks until `release` is set —
+    lets tests hold requests in-flight deterministically."""
+
+    def __init__(self):
+        self.bucket = 64
+        self.release = threading.Event()
+
+    def warmup(self, shapes):
+        pass
+
+    def enhance_batch_device(self, imgs):
+        self.release.wait(timeout=30)
+        return imgs
+
+
+def test_server_bounded_queue_rejects_when_saturated():
+    """VERDICT r2 item 5: submit() must not grow the queue without limit —
+    with overflow='reject' a full server raises ServerSaturated."""
+    from low_light_image_enhancement_tpu.serving import ServerSaturated
+
+    pipe = _BlockingPipe()
+    srv = EnhanceServer(pipeline=pipe, max_delay_ms=1.0, max_queue=4,
+                        overflow="reject")
+    img = np.zeros((16, 16, 3), np.uint8)
+    try:
+        futs = [srv.submit(img) for _ in range(4)]  # fills capacity
+        with pytest.raises(ServerSaturated):
+            srv.submit(img)
+        pipe.release.set()  # unblock the device; capacity frees
+        for f in futs:
+            assert f.result(timeout=30).shape == img.shape
+        # capacity released -> submits work again
+        assert srv.submit(img).result(timeout=30).shape == img.shape
+    finally:
+        pipe.release.set()
+        srv.close()
+
+
+def test_server_bounded_queue_blocks_then_proceeds():
+    pipe = _BlockingPipe()
+    srv = EnhanceServer(pipeline=pipe, max_delay_ms=1.0, max_queue=2,
+                        overflow="block")
+    img = np.zeros((16, 16, 3), np.uint8)
+    try:
+        f1 = srv.submit(img)
+        f2 = srv.submit(img)
+        state = {"submitted": False}
+
+        def producer():
+            f3 = srv.submit(img)  # must block until capacity frees
+            state["submitted"] = True
+            state["fut"] = f3
+
+        t = threading.Thread(target=producer)
+        t.start()
+        t.join(timeout=0.3)
+        assert not state["submitted"], "submit did not block at capacity"
+        pipe.release.set()
+        t.join(timeout=30)
+        assert state["submitted"]
+        for f in (f1, f2, state["fut"]):
+            assert f.result(timeout=30).shape == img.shape
+    finally:
+        pipe.release.set()
+        srv.close()
+
+
+def test_server_invalid_overflow_policy():
+    with pytest.raises(ValueError, match="overflow"):
+        EnhanceServer(max_queue=4, overflow="drop")

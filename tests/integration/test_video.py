@@ -87,3 +87,66 @@ def test_methods_without_temporal_carry_rejected():
     for method in ("fcn", "decom"):
         with pytest.raises(ValueError, match="enhance_stream"):
             VideoEnhancer(PipelineConfig(method=method))
+
+
+def test_curve_video_carry_is_lowres():
+    """VERDICT r2 item 4: the curve EMA carry must be the 1/ds LOW-RES maps
+    (ds^2 x smaller than the round-2 full-res stack), bounded here so a
+    regression back to full-res trips the assertion."""
+    frame = _flickering_video(1, h=256, w=320)[0]
+    sizes = {}
+    for ds in (1, 2, 4):
+        cfg = PipelineConfig(method="curve", curve_downsample=ds)
+        ve = VideoEnhancer(cfg, alpha=0.3)
+        ve.process(frame)
+        it, c, hb, wb = ve._carry_shape
+        assert (it, c) == (cfg.curve_iters, 3)
+        assert ve.carry_bytes == it * c * hb * wb * 4
+        sizes[ds] = ve.carry_bytes
+    # /ds on both axes: ~16x at ds=4 and ~4x at ds=2, with slack for the
+    # larger receptive-field halo the downsampled CNN needs (halo grows
+    # with ds but is O(1) rows while the frame is O(H))
+    assert sizes[4] * 8 <= sizes[1]
+    assert sizes[2] * 3 <= sizes[1]
+
+
+@pytest.mark.parametrize("method,ds", [("retinex", 1), ("hybrid", 1),
+                                       ("curve", 1), ("curve", 2)])
+def test_video_pallas_matches_jnp(method, ds):
+    """The fused-kernel video tail (interpret mode on CPU) must reproduce
+    the jnp video path on u8 outputs up to isolated rounding ties."""
+    frames = _flickering_video(3, h=48, w=64)
+    cfg = PipelineConfig(method=method, curve_downsample=ds,
+                         compute_dtype="float32")
+    ve_k = VideoEnhancer(cfg, alpha=0.3, pallas_interpret=True)
+    ve_j = VideoEnhancer(cfg, alpha=0.3, force_jnp=True,
+                         model_params=ve_k.model_params)
+    for f in frames:
+        a = ve_k.process(f).astype(int)
+        b = ve_j.process(f).astype(int)
+        d = np.abs(a - b)
+        assert d.max() <= 1 and (d > 0).mean() < 1e-3
+
+
+def test_curve_video_ema_damps_map_changes():
+    """What the curve-map EMA stabilizes is the adjustment FIELD (the
+    low-res carry): between noisy frames of a static scene, the EMA'd carry
+    must move ~alpha x as far as the per-frame maps do. (An output-level
+    brightness-flicker metric is the wrong probe for curve: per-frame map
+    adaptivity already boosts darker frames more, measured on synthetic
+    flicker to cancel about as much as the EMA does.)"""
+    frames = _flickering_video(2, h=40, w=64)
+    cfg = PipelineConfig(method="curve", curve_downsample=2)
+    ve_s = VideoEnhancer(cfg, alpha=0.2)
+    ve_r = VideoEnhancer(cfg, alpha=1.0, model_params=ve_s.model_params)
+
+    ve_s.process(frames[0])
+    ve_r.process(frames[0])
+    c1 = np.asarray(ve_s._state[1])
+    np.testing.assert_allclose(c1, np.asarray(ve_r._state[1]), atol=1e-6)
+
+    ve_s.process(frames[1])
+    ve_r.process(frames[1])
+    d_ema = np.abs(np.asarray(ve_s._state[1]) - c1).mean()
+    d_raw = np.abs(np.asarray(ve_r._state[1]) - c1).mean()
+    assert d_ema < 0.3 * d_raw  # ~= alpha * d_raw
