@@ -7,6 +7,7 @@ eval scripts") exposed as a CLI (SURVEY.md L6).
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
 import sys
 from typing import List, Optional
@@ -96,6 +97,7 @@ def cmd_train(args) -> int:
     from low_light_image_enhancement_tpu.train import (
         TrainConfig,
         train_curve_cnn,
+        train_decom,
         train_fcn,
     )
     from low_light_image_enhancement_tpu.utils.logging import JSONLLogger, get_logger
@@ -104,6 +106,8 @@ def cmd_train(args) -> int:
         batch_size=args.batch, crop=args.crop, steps=args.steps,
         learning_rate=args.lr,
     )
+    if args.model == "fcn":
+        tcfg = dataclasses.replace(tcfg, features=24)
     logger = get_logger()
     jsonl = JSONLLogger(args.log_file) if args.log_file else None
 
@@ -112,11 +116,27 @@ def cmd_train(args) -> int:
         if jsonl:
             jsonl.log(m)
 
-    loop = train_fcn if args.model == "fcn" else train_curve_cnn
-    loop(
-        tcfg, checkpoint_dir=args.checkpoint_dir, resume=args.resume,
-        log_fn=log_fn,
-    )
+    kw = dict(checkpoint_dir=args.checkpoint_dir, resume=args.resume,
+              log_fn=log_fn)
+    if args.model in ("curve", "hybrid"):
+        # --objective paired + --model hybrid is the exact recipe the
+        # shipped curve_cnn.npz / curve_hybrid.npz weights were trained
+        # with (scripts/train_weights.py) — now reachable from the CLI.
+        params, _ = train_curve_cnn(
+            tcfg, objective=args.objective, hybrid=args.model == "hybrid",
+            **kw,
+        )
+    elif args.model == "decom":
+        params, _ = train_decom(tcfg, **kw)
+    else:
+        params, _ = train_fcn(tcfg, **kw)
+    if args.save_weights:
+        from low_light_image_enhancement_tpu.models.weights import (
+            save_params,
+        )
+
+        save_params(params, args.save_weights)
+        logger.info("weights saved to %s", args.save_weights)
     return 0
 
 
@@ -145,9 +165,17 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--repeats", type=int, default=5)
     p.set_defaults(fn=cmd_bench)
 
-    p = sub.add_parser("train", help="curve-CNN (zero-reference) or FCN "
-                                     "(supervised) training")
-    p.add_argument("--model", choices=["curve", "fcn"], default="curve")
+    p = sub.add_parser(
+        "train",
+        help="model training: curve/hybrid (zero-reference or paired), "
+             "fcn (supervised), decom (decomposition objective)",
+    )
+    p.add_argument("--model", choices=["curve", "hybrid", "fcn", "decom"],
+                   default="curve")
+    p.add_argument("--objective", choices=["zeroref", "paired"],
+                   default="zeroref",
+                   help="curve/hybrid objective; 'paired' is the recipe "
+                        "behind the shipped weights (docs/PERFORMANCE.md)")
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--crop", type=int, default=512)
     p.add_argument("--steps", type=int, default=1000)
@@ -155,6 +183,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--log-file", default=None)
+    p.add_argument("--save-weights", default=None,
+                   help="write final params to this .npz")
     p.set_defaults(fn=cmd_train)
 
     args = parser.parse_args(argv)

@@ -89,13 +89,18 @@ class PipelineConfig:
                                  # f32 regardless. Set "float32" for the
                                  # bit-exact-vs-f32-reference path.
 
-    conv_impl: str = "xla"       # conv-stack lowering for the learned models:
+    conv_impl: str = "xla"       # conv-stack lowering for the learned
+                                 # models' INFERENCE path:
                                  # "xla": lax.conv_general_dilated as-is.
-                                 # "gemm": the MXU-shaped GEMM reformulation
-                                 # of ops/patch_conv.py — patch-GEMM
-                                 # (K=16*Cin, N=4*Cout) for the dilation-1
-                                 # stacks (curve/decom), im2col GEMM for the
-                                 # dilated fcn.
+                                 # "pallas": dense-9-tap packed GEMM Pallas
+                                 # kernel (kernels/mxu_conv.py) on s2d
+                                 # activations — the MXU fast path (TPU
+                                 # only; training always uses XLA convs).
+                                 # "gemm": the pure-jnp GEMM reformulation
+                                 # of ops/patch_conv.py — measured SLOWER
+                                 # than "xla" under XLA fusion (slab
+                                 # gathers materialize in HBM); kept as the
+                                 # kernel's reference and fallback.
 
     # --- sharding (config 5) -------------------------------------------------
     spatial_shards: int = 1      # >1: shard H across `spatial` mesh axis
@@ -137,9 +142,10 @@ class PipelineConfig:
             raise ValueError(
                 f"denoise_taps must be one of {TAPS}: {self.denoise_taps!r}"
             )
-        if self.conv_impl not in ("gemm", "xla"):
+        if self.conv_impl not in ("xla", "pallas", "gemm"):
             raise ValueError(
-                f"conv_impl must be 'gemm' or 'xla': {self.conv_impl!r}"
+                "conv_impl must be 'xla', 'pallas' or 'gemm': "
+                f"{self.conv_impl!r}"
             )
         if self.curve_downsample not in (1, 2, 4, 8):
             raise ValueError(

@@ -126,6 +126,61 @@ def apply_curve_cnn_gemm(
     return a if batched else a[0]
 
 
+def apply_curve_cnn_pallas(
+    params: Params,
+    x: jnp.ndarray,
+    n_iter: int = 8,
+    compute_dtype: jnp.dtype = jnp.bfloat16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Pallas MXU variant of :func:`apply_curve_cnn`: the 32/64-channel
+    convs run as patch-GEMM chunk kernels (kernels/mxu_conv.py — the
+    highest measured useful-FLOP rate of every formulation probed); the
+    3-channel stem runs as a jnp patch-GEMM (its 12-lane slices don't repay
+    a kernel). Inference-only (no VJP)."""
+    from low_light_image_enhancement_tpu.kernels.mxu_conv import (
+        conv2d_patch_mxu,
+    )
+    from low_light_image_enhancement_tpu.ops.patch_conv import (
+        conv2d_patch_gemm,
+        depth_to_space,
+        pack_bias,
+        pack_patch_weights,
+        space_to_depth,
+    )
+
+    batched = x.ndim == 4
+    if not batched:
+        x = x[None]
+    f = params["c1"]["w"].shape[-1]
+    nhwc = jnp.transpose(x, (0, 2, 3, 1))
+    xp = space_to_depth(nhwc).astype(compute_dtype)
+
+    def cv(name, h, groups, act):
+        p = params[name]
+        return conv2d_patch_mxu(
+            h, pack_patch_weights(p["w"], groups=groups), p["b"],
+            groups=groups, act=act, interpret=interpret,
+        )
+
+    p1 = params["c1"]
+    x1 = jax.nn.relu(
+        conv2d_patch_gemm(xp, pack_patch_weights(p1["w"], groups=(3,)),
+                          pack_bias(p1["b"]), compute_dtype, groups=(3,))
+    )
+    x2 = cv("c2", x1, (f,), "relu")
+    x3 = cv("c3", x2, (f,), "relu")
+    x4 = cv("c4", x3, (f,), "relu")
+    x5 = cv("c5", jnp.concatenate([x3, x4], -1), (f, f), "relu")
+    x6 = cv("c6", jnp.concatenate([x2, x5], -1), (f, f), "relu")
+    a = cv("c7", jnp.concatenate([x1, x6], -1), (f, f), "tanh")
+    a = depth_to_space(a).astype(jnp.float32)
+
+    b, h, w, _ = a.shape
+    a = jnp.transpose(a, (0, 3, 1, 2)).reshape(b, n_iter, 3, h, w)
+    return a if batched else a[0]
+
+
 @dataclasses.dataclass(frozen=True)
 class CurveEstimatorCNN:
     """Convenience object bundling architecture hyperparams with init/apply."""

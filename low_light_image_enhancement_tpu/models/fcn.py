@@ -80,7 +80,11 @@ def apply_fcn_gemm(
     accumulated (M, 3*Cin) @ (3*Cin, Cout) GEMMs (K = 216 at 24 features:
     ~16% MXU utilization vs ~3.5% for XLA's per-tap lowering; the dilated
     layers' even dilations preserve pixel phase, so the higher-utilization
-    packed patch-GEMM form can't apply — see ops/patch_conv.py)."""
+    packed patch-GEMM form can't apply — see ops/patch_conv.py).
+
+    Measured on-chip (docs/PERFORMANCE.md round-3 conv table): SLOWER than
+    XLA's conv end-to-end — XLA materializes the im2col slabs in HBM. Kept
+    as the Pallas kernel's parity reference."""
     from low_light_image_enhancement_tpu.ops.patch_conv import (
         conv2d_im2col_gemm,
         pack_im2col_weights,
@@ -107,6 +111,68 @@ def apply_fcn_gemm(
         jnp.einsum(
             "bhwc,cn->bhwn",
             h,
+            po["w"][0, 0].astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        )
+        + po["b"].astype(jnp.float32)
+    ).astype(jnp.float32)
+    out = jnp.transpose(out, (0, 3, 1, 2))
+    return out if batched else out[0]
+
+
+def apply_fcn_pallas(
+    params: Params,
+    x: jnp.ndarray,
+    compute_dtype: jnp.dtype = jnp.bfloat16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Pallas MXU variant of :func:`apply_fcn`: dense-9-tap packed GEMMs
+    (kernels/mxu_conv.py). Even dilations map to block shifts of d/2 with
+    phase-preserving weights; the 24-channel packed lanes (96) pad to 128.
+    Inference-only (no VJP)."""
+    from low_light_image_enhancement_tpu.kernels.mxu_conv import (
+        conv2d_dense9_mxu,
+        pack_dense9_weights,
+    )
+    from low_light_image_enhancement_tpu.ops.patch_conv import (
+        depth_to_space,
+        space_to_depth,
+    )
+
+    from low_light_image_enhancement_tpu.ops.patch_conv import (
+        conv2d_im2col_gemm,
+        pack_im2col_weights,
+    )
+
+    batched = x.ndim == 4
+    if not batched:
+        x = x[None]
+    depth = sum(1 for k in params if k.startswith("c"))
+    dils = _dilations(depth)
+    # 3-channel stem via jnp im2col GEMM (12-lane slices don't repay a
+    # kernel); s2d-pack after it, then the dilated 24-channel stack on the
+    # dense-9 kernel (96 full lanes; even dilations shift blocks by d/2
+    # with phase-preserving weights)
+    p1 = params["c1"]
+    nhwc = jnp.transpose(x, (0, 2, 3, 1)).astype(compute_dtype)
+    h = jax.nn.leaky_relu(
+        conv2d_im2col_gemm(nhwc, pack_im2col_weights(p1["w"]), p1["b"],
+                           compute_dtype, dilation=dils[0]),
+        negative_slope=0.2,
+    )
+    h = space_to_depth(h)
+    for i, dil in enumerate(dils[1:], start=2):
+        p = params[f"c{i}"]
+        h = conv2d_dense9_mxu(
+            h, pack_dense9_weights(p["w"], dilation=dil), p["b"],
+            act="leaky", step=max(1, dil // 2), interpret=interpret,
+        )
+    po = params["out"]
+    hn = depth_to_space(h)
+    out = jax.nn.sigmoid(
+        jnp.einsum(
+            "bhwc,cn->bhwn",
+            hn,
             po["w"][0, 0].astype(compute_dtype),
             preferred_element_type=jnp.float32,
         )

@@ -87,23 +87,25 @@ def pack_patch_weights(
     _, _, cin, cout = w.shape
     groups = tuple(groups) or (cin,)
     assert sum(groups) == cin, (groups, cin)
-    out = jnp.zeros((4, 4 * cin, 4 * cout), w.dtype)
-    for i, oy in enumerate(_OFFS):
-        for j, ox in enumerate(_OFFS):
+    zeros = jnp.zeros((cin, cout), w.dtype)
+    rows_per_oy = []
+    for oy in _OFFS:
+        blocks = []  # one (cin, 4*cout) block per ox
+        for ox in _OFFS:
+            cols = []
             for qy in range(2):
-                dy = oy - qy
-                if dy not in (-1, 0, 1):
-                    continue
                 for qx in range(2):
-                    dx = ox - qx
-                    if dx not in (-1, 0, 1):
-                        continue
-                    ncol = (qy * 2 + qx) * cout
-                    # rows for (ox=j, all cin) in group-major order
-                    out = out.at[
-                        i, j * cin : (j + 1) * cin, ncol : ncol + cout
-                    ].set(w[dy + 1, dx + 1])
-    return out
+                    dy, dx = oy - qy, ox - qx
+                    cols.append(
+                        w[dy + 1, dx + 1]
+                        if dy in (-1, 0, 1) and dx in (-1, 0, 1)
+                        else zeros
+                    )
+            blocks.append(jnp.concatenate(cols, axis=1))
+        rows_per_oy.append(jnp.concatenate(blocks, axis=0))
+    # pure concat/stack construction: a handful of fused XLA ops when the
+    # packing runs on traced params inside a jit (vs 64 scatter updates)
+    return jnp.stack(rows_per_oy)
 
 
 def pack_bias(b: jnp.ndarray) -> jnp.ndarray:

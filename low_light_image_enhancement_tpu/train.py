@@ -336,18 +336,48 @@ def train_curve_cnn(
     resume: bool = False,
     log_fn: Optional[Callable[[Dict[str, float]], None]] = None,
     seed: int = 0,
+    objective: str = "zeroref",
+    hybrid: bool = False,
 ):
-    """Config-3 training loop. ``data_iter`` yields (B, 3, H, W) f32 batches;
-    defaults to synthetic low-light crops. Returns (params, metrics_history).
-    """
+    """Config-3 training loop for the curve CNN.
+
+    ``objective``: "zeroref" (the Zero-DCE config-3 recipe, input-only) or
+    "paired" (L1 + SSIM vs ground truth + weak TV — the recipe that
+    produced the SHIPPED curve/hybrid weights, `scripts/train_weights.py`).
+    ``hybrid``: train on retinex-illumination-boosted inputs, matching the
+    hybrid pipeline where the curves adjust the boosted image.
+
+    ``data_iter`` yields (B, 3, H, W) f32 batches for zeroref, or
+    (low, high) pairs for paired; defaults to the hardened synthetic
+    stream. Returns (params, metrics_history)."""
+    if objective not in ("zeroref", "paired"):
+        raise ValueError(f"objective must be 'zeroref' or 'paired': "
+                         f"{objective!r}")
     params, opt_state = init_train_state(tcfg, seed)
-    factory = (
-        (lambda start: iter(data_iter)) if data_iter is not None
-        else (lambda start: (low for low, _ in
-                             _synth_planar_pairs(tcfg, seed, start)))
-    )
+    paired = objective == "paired"
+
+    def _boost(low):
+        if not hybrid:
+            return low
+        from low_light_image_enhancement_tpu.config import PipelineConfig
+        from low_light_image_enhancement_tpu.core import illumination_boost
+
+        return illumination_boost(low, PipelineConfig())
+
+    if data_iter is not None:
+        factory = lambda start: iter(data_iter)
+    elif paired:
+        factory = lambda start: (
+            (_boost(low), high)
+            for low, high in _synth_planar_pairs(tcfg, seed, start)
+        )
+    else:
+        factory = lambda start: (
+            _boost(low) for low, _ in _synth_planar_pairs(tcfg, seed, start)
+        )
+    make_fn = make_paired_curve_train_step if paired else make_train_step
     return _run_training_loop(
-        tcfg, params, opt_state, make_train_step, factory, mesh,
+        tcfg, params, opt_state, make_fn, factory, mesh,
         checkpoint_dir, resume, log_fn,
     )
 
@@ -481,5 +511,32 @@ def train_fcn(
     )
     return _run_training_loop(
         tcfg, params, opt_state, make_supervised_train_step, factory, mesh,
+        checkpoint_dir, resume, log_fn,
+    )
+
+
+def train_decom(
+    tcfg: TrainConfig = TrainConfig(),
+    data_iter=None,
+    mesh: Optional[Mesh] = None,
+    checkpoint_dir: Optional[str] = None,
+    resume: bool = False,
+    log_fn: Optional[Callable[[Dict[str, float]], None]] = None,
+    seed: int = 0,
+):
+    """Decomposition-objective training loop for the RetinexNet-style
+    DecomNet (the shipped decom.npz recipe). ``data_iter`` yields
+    (low, high) planar f32 pairs; defaults to the hardened synthetic
+    stream. Returns (params, metrics_history)."""
+    from low_light_image_enhancement_tpu.models.decom import init_decom_net
+
+    params = init_decom_net(jax.random.PRNGKey(seed))
+    opt_state = make_optimizer(tcfg).init(params)
+    factory = (
+        (lambda start: iter(data_iter)) if data_iter is not None
+        else (lambda start: _synth_planar_pairs(tcfg, seed, start))
+    )
+    return _run_training_loop(
+        tcfg, params, opt_state, make_decom_train_step, factory, mesh,
         checkpoint_dir, resume, log_fn,
     )

@@ -176,6 +176,45 @@ def config4_1080p_stream(quick: bool) -> dict:
     }
 
 
+def config7_video_stateful(quick: bool) -> dict:
+    """Temporally-stable video (VideoEnhancer) device rate at 1080p
+    (VERDICT r2 item 4): the stateful fused step — EMA carry + external-
+    gain/low-res-map Pallas tail — chained on-device (state feeds forward),
+    one scalar sync at the end. Reported per method; the e2e tunnel-bound
+    number is config 4's."""
+    from low_light_image_enhancement_tpu.config import PipelineConfig
+    from low_light_image_enhancement_tpu.video import VideoEnhancer
+
+    h, w = (540, 960) if quick else (1080, 1920)
+    n = 8 if quick else 30
+    rng = np.random.default_rng(0)
+    frame = (rng.random((h, w, 3)) * 60).astype(np.uint8)
+    out = {"config": 7, "h": h, "w": w}
+    for label, cfg in (
+        ("retinex", PipelineConfig()),
+        ("curve_ds4", PipelineConfig(method="curve", curve_downsample=4)),
+        ("hybrid_ds4", PipelineConfig(method="hybrid", curve_downsample=4)),
+    ):
+        ve = VideoEnhancer(cfg, alpha=0.3)
+        ve.process(frame)  # compile + init state
+        dev = jnp.asarray(frame)
+        state = ve._state
+
+        def chain(k, state):
+            t0 = time.perf_counter()
+            for _ in range(k):
+                state, y = ve._step(state, dev)
+            _sync(y)
+            return time.perf_counter() - t0, state
+
+        chain(2, state)
+        ts, _ = chain(2, state)
+        tl, _ = chain(2 + n, state)
+        fps = n / max(tl - ts, 1e-9)
+        out[f"video_fps_{label}"] = round(fps, 2)
+    return out
+
+
 def config5_4k_sharded(quick: bool) -> dict:
     """4K pipeline sharded spatially with per-shard denoise over however
     many devices exist. BASELINE.json:11."""
@@ -294,6 +333,7 @@ CONFIGS = {
     2: config2_lol_eval,
     3: config3_curve_cnn,
     4: config4_1080p_stream,
+    7: config7_video_stateful,
     5: config5_4k_sharded,
     6: config6_ingest,
 }

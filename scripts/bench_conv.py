@@ -59,8 +59,13 @@ def _steps(method, impl, dtype):
             init_curve_cnn,
         )
 
+        from low_light_image_enhancement_tpu.models.curve_cnn import (
+            apply_curve_cnn_pallas,
+        )
+
         params = init_curve_cnn(jax.random.PRNGKey(0))
-        apply = {"xla": apply_curve_cnn, "gemm": apply_curve_cnn_gemm}[impl]
+        apply = {"xla": apply_curve_cnn, "gemm": apply_curve_cnn_gemm,
+                 "pallas": apply_curve_cnn_pallas}[impl]
 
         def step(x, params=params):
             maps = apply(params, x, compute_dtype=dtype)
@@ -74,8 +79,13 @@ def _steps(method, impl, dtype):
             init_fcn,
         )
 
+        from low_light_image_enhancement_tpu.models.fcn import (
+            apply_fcn_pallas,
+        )
+
         params = init_fcn(jax.random.PRNGKey(0))
-        apply = {"xla": apply_fcn, "gemm": apply_fcn_gemm}[impl]
+        apply = {"xla": apply_fcn, "gemm": apply_fcn_gemm,
+                 "pallas": apply_fcn_pallas}[impl]
         return lambda x: apply(params, x, compute_dtype=dtype)
     if method == "decom":
         from low_light_image_enhancement_tpu.models.decom import (
@@ -84,8 +94,13 @@ def _steps(method, impl, dtype):
             init_decom_net,
         )
 
+        from low_light_image_enhancement_tpu.models.decom import (
+            apply_decom_net_pallas,
+        )
+
         params = init_decom_net(jax.random.PRNGKey(0))
-        apply = {"xla": apply_decom_net, "gemm": apply_decom_net_gemm}[impl]
+        apply = {"xla": apply_decom_net, "gemm": apply_decom_net_gemm,
+                 "pallas": apply_decom_net_pallas}[impl]
         return lambda x: apply(params, x, compute_dtype=dtype)[0]
     raise ValueError(method)
 
