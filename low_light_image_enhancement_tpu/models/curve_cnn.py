@@ -136,15 +136,14 @@ def apply_curve_cnn_pallas(
     """Pallas MXU variant of :func:`apply_curve_cnn`: the 32/64-channel
     convs run as patch-GEMM chunk kernels (kernels/mxu_conv.py — the
     highest measured useful-FLOP rate of every formulation probed); the
-    3-channel stem runs as a jnp patch-GEMM (its 12-lane slices don't repay
-    a kernel). Inference-only (no VJP)."""
+    3-channel stem runs as a plain XLA conv (12-lane slices neither fit
+    the kernel nor cost meaningful MXU time). Inference-only (no VJP)."""
     from low_light_image_enhancement_tpu.kernels.mxu_conv import (
         conv2d_patch_mxu,
     )
+    from low_light_image_enhancement_tpu.models.layers import conv2d
     from low_light_image_enhancement_tpu.ops.patch_conv import (
-        conv2d_patch_gemm,
         depth_to_space,
-        pack_bias,
         pack_patch_weights,
         space_to_depth,
     )
@@ -154,7 +153,6 @@ def apply_curve_cnn_pallas(
         x = x[None]
     f = params["c1"]["w"].shape[-1]
     nhwc = jnp.transpose(x, (0, 2, 3, 1))
-    xp = space_to_depth(nhwc).astype(compute_dtype)
 
     def cv(name, h, groups, act):
         p = params[name]
@@ -164,9 +162,8 @@ def apply_curve_cnn_pallas(
         )
 
     p1 = params["c1"]
-    x1 = jax.nn.relu(
-        conv2d_patch_gemm(xp, pack_patch_weights(p1["w"], groups=(3,)),
-                          pack_bias(p1["b"]), compute_dtype, groups=(3,))
+    x1 = space_to_depth(
+        jax.nn.relu(conv2d(nhwc, p1["w"], p1["b"], compute_dtype))
     )
     x2 = cv("c2", x1, (f,), "relu")
     x3 = cv("c3", x2, (f,), "relu")

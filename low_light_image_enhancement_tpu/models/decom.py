@@ -100,15 +100,15 @@ def apply_decom_net_pallas(
 ):
     """Pallas MXU variant of :func:`apply_decom_net`: the 32-channel core
     convs run as patch-GEMM chunk kernels (kernels/mxu_conv.py); the
-    4-channel stem and 4-channel head run as jnp patch-GEMMs (16-lane
-    slices don't repay a kernel). Inference-only (no VJP)."""
+    4-channel stem and head run as plain XLA convs (their tiny channel
+    counts neither fit the kernel's lane slices nor cost meaningful MXU
+    time). Inference-only (no VJP)."""
     from low_light_image_enhancement_tpu.kernels.mxu_conv import (
         conv2d_patch_mxu,
     )
+    from low_light_image_enhancement_tpu.models.layers import conv2d
     from low_light_image_enhancement_tpu.ops.patch_conv import (
-        conv2d_patch_gemm,
         depth_to_space,
-        pack_bias,
         pack_patch_weights,
         space_to_depth,
     )
@@ -118,12 +118,9 @@ def apply_decom_net_pallas(
         x = x[None]
     mx = jnp.max(x, axis=1, keepdims=True)
     nhwc = jnp.transpose(jnp.concatenate([x, mx], axis=1), (0, 2, 3, 1))
-    h = space_to_depth(nhwc).astype(compute_dtype)
     p1 = params["c1"]
-    h = jax.nn.relu(
-        conv2d_patch_gemm(h, pack_patch_weights(p1["w"], groups=(4,)),
-                          pack_bias(p1["b"]), compute_dtype, groups=(4,))
-    )
+    h = jax.nn.relu(conv2d(nhwc, p1["w"], p1["b"], compute_dtype))
+    h = space_to_depth(h)
     for i in range(2, 5):
         p = params[f"c{i}"]
         h = conv2d_patch_mxu(
@@ -131,11 +128,9 @@ def apply_decom_net_pallas(
             interpret=interpret,
         )
     p5 = params["c5"]
-    h = jax.nn.sigmoid(
-        conv2d_patch_gemm(h, pack_patch_weights(p5["w"]),
-                          pack_bias(p5["b"]), compute_dtype)
-    )
-    out = depth_to_space(h).astype(jnp.float32)
+    out = jax.nn.sigmoid(
+        conv2d(depth_to_space(h), p5["w"], p5["b"], compute_dtype)
+    ).astype(jnp.float32)
     out = jnp.transpose(out, (0, 3, 1, 2))  # (B, 4, H, W)
     r, l = out[:, :3], out[:, 3:4]
     return (r, l) if batched else (r[0], l[0])

@@ -9,35 +9,46 @@ consistency weight, exposure weight, map-TV weight) for a recipe that at
 least beats the classical retinex path (SSIM 0.32), or records the
 measured negative.
 
-Each candidate trains briefly on-device on the hardened synthetic stream
-and is scored on the synthetic eval-15 (PSNR/SSIM, no parity pass). One
-JSON line per candidate; `--steps` sets the budget (default 600 — enough
-to rank recipes; rerun the winner with --steps 2000+ to confirm).
+Tunnel-aware design: the remote XLA compile is ~7 minutes for the train
+step in this environment, so ALL candidates share ONE compiled step — the
+loss weights ride in as a traced vector — and one EnhancePipeline is
+reused across evals (its jit takes params as an argument). One JSON line
+per candidate.
 """
 
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
 import sys
 import time
 from pathlib import Path
 
+import jax
+import jax.numpy as jnp
+
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from low_light_image_enhancement_tpu.config import PipelineConfig  # noqa: E402
 from low_light_image_enhancement_tpu.data.synth_device import (  # noqa: E402
-    synth_batch_iter,
+    synth_pair_batch,
 )
 from low_light_image_enhancement_tpu.eval.runner import eval_lol  # noqa: E402
+from low_light_image_enhancement_tpu.models.curve_cnn import (  # noqa: E402
+    apply_curve_cnn,
+)
+from low_light_image_enhancement_tpu.ops.curves import apply_curves  # noqa: E402
 from low_light_image_enhancement_tpu.pipeline import (  # noqa: E402
     EnhancePipeline,
 )
 from low_light_image_enhancement_tpu.train import (  # noqa: E402
     TrainConfig,
+    color_constancy_loss,
+    exposure_loss,
     init_train_state,
-    make_train_step,
+    make_optimizer,
+    smoothness_loss,
+    spatial_consistency_loss,
 )
 
 # (name, exposure_level, w_exposure, w_spatial, w_smooth)
@@ -51,37 +62,36 @@ GRID = [
     ("level45-exp5-spatial20", 0.45, 5.0, 20.0, 200.0),
     ("level50-spatial50-tv400", 0.50, 10.0, 50.0, 400.0),
 ]
+W_COLOR = 5.0
 
 
-def run_candidate(name, level, w_exp, w_spa, w_tv, steps, batch, crop):
-    tcfg = TrainConfig(
-        batch_size=batch, crop=crop, steps=steps,
-        exposure_level=level, w_exposure=w_exp, w_spatial=w_spa,
-        w_smooth=w_tv,
-    )
-    params, opt_state = init_train_state(tcfg, seed=0)
-    step = make_train_step(tcfg)
-    data = synth_batch_iter(batch, crop, crop, seed=0)
-    t0 = time.time()
-    loss = None
-    for i in range(steps):
-        low, _ = next(data)
-        params, opt_state, m = step(params, opt_state, low)
-        loss = float(m["loss"])
-    train_s = time.time() - t0
+def make_shared_step(tcfg: TrainConfig, opt):
+    """One compile for the whole grid: weights arrive as a traced vector
+    (level, w_exp, w_spa, w_tv); data is generated on-device."""
+    import optax
 
-    cfg = PipelineConfig(method="curve")
-    rep = eval_lol(
-        pipeline=EnhancePipeline(cfg, model_params=params),
-        parity=False,
-    )
-    return params, {
-        "name": name, "exposure_level": level, "w_exposure": w_exp,
-        "w_spatial": w_spa, "w_smooth": w_tv, "steps": steps,
-        "final_loss": round(loss, 4), "train_s": round(train_s, 1),
-        "psnr": round(rep["psnr_mean"], 2),
-        "ssim": round(rep["ssim_mean"], 4),
-    }
+    def loss_fn(params, batch, wvec):
+        cnn = lambda p, x: apply_curve_cnn(p, x, n_iter=tcfg.n_iter)
+        if tcfg.remat:
+            cnn = jax.checkpoint(cnn)
+        a = cnn(params, batch)
+        y = jnp.clip(apply_curves(batch, a), 0.0, 1.0)
+        return (
+            wvec[1] * exposure_loss(y, wvec[0])
+            + W_COLOR * color_constancy_loss(y)
+            + wvec[2] * spatial_consistency_loss(batch, y)
+            + wvec[3] * smoothness_loss(a)
+        )
+
+    @jax.jit
+    def step(params, opt_state, key, wvec):
+        low, _ = synth_pair_batch(key, tcfg.batch_size, tcfg.crop, tcfg.crop)
+        loss, grads = jax.value_and_grad(loss_fn)(params, low, wvec)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
 
 
 def main():
@@ -89,19 +99,43 @@ def main():
     ap.add_argument("--steps", type=int, default=600)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--crop", type=int, default=128)
-    ap.add_argument("--only", default=None,
-                    help="run a single named candidate")
-    ap.add_argument("--save", default=None,
-                    help="save the candidate's weights to this .npz")
+    ap.add_argument("--only", default=None)
+    ap.add_argument("--save", default=None)
     args = ap.parse_args()
+
+    tcfg = TrainConfig(batch_size=args.batch, crop=args.crop,
+                       steps=args.steps)
+    opt = make_optimizer(tcfg)
+    step = make_shared_step(tcfg, opt)
+    cfg = PipelineConfig(method="curve")
+    pipe = EnhancePipeline(cfg)  # jit takes params as an arg -> one compile
 
     grid = [g for g in GRID if args.only in (None, g[0])]
     best = None
     for name, level, w_exp, w_spa, w_tv in grid:
-        params, row = run_candidate(
-            name, level, w_exp, w_spa, w_tv, args.steps, args.batch,
-            args.crop,
-        )
+        params, opt_state = init_train_state(tcfg, seed=0)
+        wvec = jnp.asarray([level, w_exp, w_spa, w_tv], jnp.float32)
+        key = jax.random.PRNGKey(0)
+        t0 = time.time()
+        loss = None
+        for i in range(args.steps):
+            key, sub = jax.random.split(key)
+            params, opt_state, loss_t = step(params, opt_state, sub, wvec)
+            if (i + 1) % 200 == 0 or i == args.steps - 1:
+                loss = float(loss_t)
+                print(f"#   {name} step {i+1}/{args.steps} "
+                      f"loss {loss:.4f} ({time.time()-t0:.0f}s)", flush=True)
+        train_s = time.time() - t0
+
+        pipe.model_params = params
+        rep = eval_lol(pipeline=pipe, parity=False)
+        row = {
+            "name": name, "exposure_level": level, "w_exposure": w_exp,
+            "w_spatial": w_spa, "w_smooth": w_tv, "steps": args.steps,
+            "final_loss": round(loss, 4), "train_s": round(train_s, 1),
+            "psnr": round(rep["psnr_mean"], 2),
+            "ssim": round(rep["ssim_mean"], 4),
+        }
         print(json.dumps(row), flush=True)
         if best is None or row["ssim"] > best[1]["ssim"]:
             best = (params, row)
