@@ -73,6 +73,84 @@ def learned_halo(cfg: PipelineConfig) -> int:
     return _round_up(max(r, MARGIN), granule)
 
 
+def single_block_halo(cfg: PipelineConfig) -> int:
+    """Halo rows for an UNSHARDED block (the whole image is one block) —
+    smaller than ``learned_halo`` yet bit-identical, for any weights.
+
+    Derivation (first-divergence analysis, verified bit-exact in
+    tests/unit/test_single_block_halo.py): ``_mask_extent`` zeroes the input
+    beyond image + MARGIN on *both* canvases, and conv SAME zero padding
+    equals those masked zeros, so **layer-1 activations are identical** on
+    every row both canvases share. Divergence (``relu(bias)`` cascades the
+    big canvas carries beyond the small canvas's edge) first appears in
+    layer-2 outputs at the small canvas's edge rows and propagates inward by
+    one dilation per remaining layer — reach = ``sum(dilations[2:])`` rows
+    from the canvas edge. Output rows at depth >= halo are untouched iff
+    halo > reach (+1 for the bilateral tail). For the 7x(3x3, dil 1) curve
+    CNN at 1/ds resolution the reach is 6 lowres rows < the 8-lowres-row
+    granule halo; decom's 5-layer stack reaches 4 < 8. fcn's divergence
+    reach is its layer-2..7 dilation sum (2+4+8+16+32+1 = 63) + 1 bilateral
+    row = 64 < the 72-row full halo (which also counts layer 1's dilation) —
+    a small but free canvas cut; the real fcn attack is the packed conv
+    impl.
+
+    Hybrid additionally needs ``blur_radius`` real replicate rows beyond the
+    MARGIN band: the boost's wrap-roll blur must read true edge replicas (not
+    wrapped opposite-edge rows) everywhere the post-boost mask keeps values.
+    ``learned_halo`` (the full receptive radius) remains required whenever a
+    block must carry REAL neighbor content across a shard boundary.
+    """
+    if cfg.method == "fcn":
+        from low_light_image_enhancement_tpu.models.fcn import _dilations
+
+        return _round_up(sum(_dilations(7)[1:]) + 1, 8)
+    r = MARGIN
+    if cfg.method == "hybrid":
+        r += cfg.blur_radius
+    granule = 8 * cfg.curve_downsample if cfg.method in ("curve", "hybrid") \
+        else 8
+    return _round_up(r, granule)
+
+
+AUTO_PACKED_MAX_BATCH = 32  # exclusive: batch < 32 -> packed on TPU
+
+
+def resolve_conv_impl(
+    cfg: PipelineConfig,
+    use_pallas: bool = False,
+    interpret: bool = False,
+    batch: Optional[int] = None,
+) -> PipelineConfig:
+    """Resolve conv_impl='auto' and environment gates to a concrete impl.
+
+    'auto' (measured policy, docs/PERFORMANCE.md round-3 conv tables):
+    TPU + batch < 32 -> 'packed' (the s2d block conv fills the MXU's lanes
+    when the batch can't: fcn 581 vs 214 img/s at batch 8, 2.7x); TPU +
+    batch >= 32 or unknown -> 'xla' (XLA's conv lowering scales with batch
+    and wins from ~batch 48 up: fcn 1667 vs ~850 at batch 128); off-TPU ->
+    'xla' (packed's 4x structural FLOPs only pay off on the MXU).
+    Consequence of shape-aware auto: a TPU user may see isolated 1-ulp /
+    1-u8-step differences between small- and large-batch runs of the same
+    image; set conv_impl explicitly for bit-stable-across-batch output.
+
+    'pallas' degrades to 'xla' off-TPU (the kernels need a chip or
+    interpret mode) — mirrors the tail-kernel gate. Backend check only —
+    NOT use_pallas: interpret-mode runs on CPU must resolve identically to
+    the jnp reference or u8 rounding ties flip between the two parity arms
+    (tests/kernels/test_fused_curve.py). Trace-time static:
+    jax.default_backend() and the batch dim are Python values, so the
+    choice bakes into each compiled graph."""
+    if cfg.conv_impl == "auto":
+        on_tpu = jax.default_backend() == "tpu"
+        small = batch is not None and batch < AUTO_PACKED_MAX_BATCH
+        return cfg.replace(
+            conv_impl="packed" if (on_tpu and small) else "xla"
+        )
+    if cfg.conv_impl == "pallas" and not (use_pallas or interpret):
+        return cfg.replace(conv_impl="xla")
+    return cfg
+
+
 def _mask_extent(
     y: jnp.ndarray, row0, h: int, w: int
 ) -> jnp.ndarray:
@@ -114,6 +192,7 @@ def _curve_maps_lowres(
     from low_light_image_enhancement_tpu.models.curve_cnn import (
         apply_curve_cnn,
         apply_curve_cnn_gemm,
+        apply_curve_cnn_packed,
         apply_curve_cnn_pallas,
     )
 
@@ -132,8 +211,9 @@ def _curve_maps_lowres(
             params, cnn_in, n_iter=cfg.curve_iters,
             compute_dtype=jnp.dtype(cfg.compute_dtype), interpret=interpret,
         )
-    apply = apply_curve_cnn_gemm if cfg.conv_impl == "gemm" \
-        else apply_curve_cnn
+    apply = {"gemm": apply_curve_cnn_gemm,
+             "packed": apply_curve_cnn_packed}.get(cfg.conv_impl,
+                                                   apply_curve_cnn)
     return apply(
         params, cnn_in, n_iter=cfg.curve_iters,
         compute_dtype=jnp.dtype(cfg.compute_dtype),
@@ -171,6 +251,7 @@ def enhance_learned_block(
     use_pallas: bool = False,
     interpret: bool = False,
     pre_boosted: Optional[jnp.ndarray] = None,
+    halo: Optional[int] = None,
 ) -> jnp.ndarray:
     """Learned-method enhance on one halo'd row block.
 
@@ -178,7 +259,7 @@ def enhance_learned_block(
       xb: (B, 3, HB, WB) block — f32 in [0, 1], or uint8 (the fast path:
         curve/hybrid with ``use_pallas`` run the fused u8-in/u8-out tail
         kernel, and sharded halos move u8 rows over ICI at 1/4 the bytes);
-        HB = owned rows + 2 * ``learned_halo(cfg)``; WB a multiple of 128
+        HB = owned rows + 2 * halo; WB a multiple of 128
         with MARGIN replicate cols before the image's col 0. Halo rows are
         neighbor rows (sharded) or edge replicas (single device / global
         edges) — same values either way.
@@ -187,6 +268,11 @@ def enhance_learned_block(
       pre_boosted: (hybrid only) an externally computed illumination-boosted
         block — e.g. the temporally-EMA'd boost of ``video.video_step`` —
         used in place of the internal ``illumination_boost`` (jnp tail only).
+      halo: rows per side above/below the owned rows; defaults to
+        ``learned_halo(cfg)`` (the sharded contract). The single-device
+        pipeline passes ``single_block_halo(cfg)`` — semantics are identical
+        (the input mask zeroes beyond image + MARGIN either way) on a
+        smaller canvas.
 
     Returns (B, 3, HB - 2*halo, WB): enhanced owned rows, cols uncropped,
     dtype matching ``xb``.
@@ -196,11 +282,10 @@ def enhance_learned_block(
         quantize_u8,
     )
 
-    if cfg.conv_impl == "pallas" and not (use_pallas or interpret):
-        # Pallas conv needs a TPU (or interpret mode); degrade to XLA convs
-        # so the same config runs everywhere (mirrors the tail-kernel gate).
-        cfg = cfg.replace(conv_impl="xla")
-    halo = learned_halo(cfg)
+    cfg = resolve_conv_impl(cfg, use_pallas=use_pallas, interpret=interpret,
+                            batch=xb.shape[0] if xb.ndim == 4 else 1)
+    if halo is None:
+        halo = learned_halo(cfg)
     rows = xb.shape[-2] - 2 * halo
     u8_io = xb.dtype == jnp.uint8
     xf = normalize_u8(xb) if u8_io else xb
@@ -244,6 +329,7 @@ def enhance_learned_block(
         from low_light_image_enhancement_tpu.models.fcn import (
             apply_fcn,
             apply_fcn_gemm,
+            apply_fcn_packed,
             apply_fcn_pallas,
         )
 
@@ -254,7 +340,9 @@ def enhance_learned_block(
                 interpret=interpret,
             )
         else:
-            apply = apply_fcn_gemm if cfg.conv_impl == "gemm" else apply_fcn
+            apply = {"gemm": apply_fcn_gemm,
+                     "packed": apply_fcn_packed}.get(cfg.conv_impl,
+                                                     apply_fcn)
             y = apply(model_params, cnn_in,
                       compute_dtype=jnp.dtype(cfg.compute_dtype))
         y = jnp.clip(y, 0.0, 1.0)
@@ -262,6 +350,7 @@ def enhance_learned_block(
         from low_light_image_enhancement_tpu.models.decom import (
             apply_decom_net,
             apply_decom_net_gemm,
+            apply_decom_net_packed,
             apply_decom_net_pallas,
         )
 
@@ -272,8 +361,9 @@ def enhance_learned_block(
                 interpret=interpret,
             )
         else:
-            apply = apply_decom_net_gemm if cfg.conv_impl == "gemm" \
-                else apply_decom_net
+            apply = {"gemm": apply_decom_net_gemm,
+                     "packed": apply_decom_net_packed}.get(cfg.conv_impl,
+                                                           apply_decom_net)
             r, l = apply(
                 model_params, cnn_in,
                 compute_dtype=jnp.dtype(cfg.compute_dtype),

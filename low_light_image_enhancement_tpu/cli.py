@@ -33,6 +33,10 @@ def _add_config_args(p: argparse.ArgumentParser) -> None:
                    default=None)
     p.add_argument("--curve-downsample", type=int, choices=[1, 2, 4, 8],
                    default=None, help="estimate curve maps at 1/N res")
+    p.add_argument("--conv-impl",
+                   choices=["auto", "xla", "pallas", "gemm", "packed"],
+                   default=None,
+                   help="learned-model conv lowering (auto: packed on TPU)")
     p.add_argument("--no-pallas", action="store_true",
                    help="force the pure-jnp reference path")
 
@@ -47,7 +51,7 @@ def _build_config(args) -> PipelineConfig:
     if getattr(args, "denoise_strength", None) is not None:
         over["denoise_strength"] = args.denoise_strength
     for name in ("decom_gamma", "denoise_taps", "denoise_guide",
-                 "curve_downsample"):
+                 "curve_downsample", "conv_impl"):
         v = getattr(args, name, None)
         if v is not None:
             over[name] = v

@@ -89,8 +89,14 @@ class PipelineConfig:
                                  # f32 regardless. Set "float32" for the
                                  # bit-exact-vs-f32-reference path.
 
-    conv_impl: str = "xla"       # conv-stack lowering for the learned
+    conv_impl: str = "auto"      # conv-stack lowering for the learned
                                  # models' INFERENCE path:
+                                 # "auto": measured policy (docs/
+                                 # PERFORMANCE.md round-3 conv tables) —
+                                 # "packed" on TPU at batch < 32 (2.7x
+                                 # fcn at batch 8), "xla" at batch >= 32
+                                 # (XLA's conv lowering scales with batch
+                                 # and wins from ~48 up) and off-TPU.
                                  # "xla": lax.conv_general_dilated as-is.
                                  # "pallas": dense-9-tap packed GEMM Pallas
                                  # kernel (kernels/mxu_conv.py) on s2d
@@ -101,6 +107,11 @@ class PipelineConfig:
                                  # than "xla" under XLA fusion (slab
                                  # gathers materialize in HBM); kept as the
                                  # kernel's reference and fallback.
+                                 # "packed": space-to-depth block conv —
+                                 # ONE XLA conv per layer on packed lanes
+                                 # (ops.patch_conv.conv2d_block_xla), 4x
+                                 # lane fill at 4x structural FLOPs;
+                                 # differentiable, runs everywhere.
 
     # --- sharding (config 5) -------------------------------------------------
     spatial_shards: int = 1      # >1: shard H across `spatial` mesh axis
@@ -142,10 +153,10 @@ class PipelineConfig:
             raise ValueError(
                 f"denoise_taps must be one of {TAPS}: {self.denoise_taps!r}"
             )
-        if self.conv_impl not in ("xla", "pallas", "gemm"):
+        if self.conv_impl not in ("auto", "xla", "pallas", "gemm", "packed"):
             raise ValueError(
-                "conv_impl must be 'xla', 'pallas' or 'gemm': "
-                f"{self.conv_impl!r}"
+                "conv_impl must be 'auto', 'xla', 'pallas', 'gemm' or "
+                f"'packed': {self.conv_impl!r}"
             )
         if self.curve_downsample not in (1, 2, 4, 8):
             raise ValueError(

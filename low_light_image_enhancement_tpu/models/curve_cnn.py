@@ -178,6 +178,58 @@ def apply_curve_cnn_pallas(
     return a if batched else a[0]
 
 
+def apply_curve_cnn_packed(
+    params: Params,
+    x: jnp.ndarray,
+    n_iter: int = 8,
+    compute_dtype: jnp.dtype = jnp.bfloat16,
+) -> jnp.ndarray:
+    """Space-to-depth block-conv variant of :func:`apply_curve_cnn`: the
+    32-channel core runs as plain XLA convs on packed activations (128 full
+    lanes vs 32 — ops.patch_conv.pack_block_conv_weights), the 3-channel
+    stem as a normal conv. Pure XLA, differentiable; conv_impl='auto'
+    selects it on TPU below batch 32, where it measures fastest — XLA's
+    own lowering wins at large batch (docs/PERFORMANCE.md round-3 conv
+    tables)."""
+    from low_light_image_enhancement_tpu.models.layers import conv2d
+    from low_light_image_enhancement_tpu.ops.patch_conv import (
+        conv2d_block_xla,
+        depth_to_space,
+        pack_block_conv_weights,
+        space_to_depth,
+    )
+
+    batched = x.ndim == 4
+    if not batched:
+        x = x[None]
+    f = params["c1"]["w"].shape[-1]
+    nhwc = jnp.transpose(x, (0, 2, 3, 1))
+
+    def cv(name, h, groups, act):
+        p = params[name]
+        y = conv2d_block_xla(
+            h, pack_block_conv_weights(p["w"], groups=groups), p["b"],
+            compute_dtype,
+        )
+        return act(y)
+
+    p1 = params["c1"]
+    x1 = space_to_depth(
+        jax.nn.relu(conv2d(nhwc, p1["w"], p1["b"], compute_dtype))
+    )
+    x2 = cv("c2", x1, (f,), jax.nn.relu)
+    x3 = cv("c3", x2, (f,), jax.nn.relu)
+    x4 = cv("c4", x3, (f,), jax.nn.relu)
+    x5 = cv("c5", jnp.concatenate([x3, x4], -1), (f, f), jax.nn.relu)
+    x6 = cv("c6", jnp.concatenate([x2, x5], -1), (f, f), jax.nn.relu)
+    a = cv("c7", jnp.concatenate([x1, x6], -1), (f, f), jnp.tanh)
+    a = depth_to_space(a).astype(jnp.float32)
+
+    b, h, w, _ = a.shape
+    a = jnp.transpose(a, (0, 3, 1, 2)).reshape(b, n_iter, 3, h, w)
+    return a if batched else a[0]
+
+
 @dataclasses.dataclass(frozen=True)
 class CurveEstimatorCNN:
     """Convenience object bundling architecture hyperparams with init/apply."""

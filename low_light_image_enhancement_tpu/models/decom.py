@@ -136,6 +136,47 @@ def apply_decom_net_pallas(
     return (r, l) if batched else (r[0], l[0])
 
 
+def apply_decom_net_packed(
+    params: Params,
+    x: jnp.ndarray,
+    compute_dtype: jnp.dtype = jnp.bfloat16,
+):
+    """Space-to-depth block-conv variant of :func:`apply_decom_net`: the
+    32-channel core runs as plain XLA convs on packed activations (128 full
+    lanes — ops.patch_conv.pack_block_conv_weights); the 4-channel stem and
+    head stay normal convs. Pure XLA, differentiable."""
+    from low_light_image_enhancement_tpu.models.layers import conv2d
+    from low_light_image_enhancement_tpu.ops.patch_conv import (
+        conv2d_block_xla,
+        depth_to_space,
+        pack_block_conv_weights,
+        space_to_depth,
+    )
+
+    batched = x.ndim == 4
+    if not batched:
+        x = x[None]
+    mx = jnp.max(x, axis=1, keepdims=True)
+    nhwc = jnp.transpose(jnp.concatenate([x, mx], axis=1), (0, 2, 3, 1))
+    p1 = params["c1"]
+    h = jax.nn.relu(conv2d(nhwc, p1["w"], p1["b"], compute_dtype))
+    h = space_to_depth(h)
+    for i in range(2, 5):
+        p = params[f"c{i}"]
+        h = jax.nn.relu(
+            conv2d_block_xla(
+                h, pack_block_conv_weights(p["w"]), p["b"], compute_dtype
+            )
+        )
+    p5 = params["c5"]
+    out = jax.nn.sigmoid(
+        conv2d(depth_to_space(h), p5["w"], p5["b"], compute_dtype)
+    ).astype(jnp.float32)
+    out = jnp.transpose(out, (0, 3, 1, 2))  # (B, 4, H, W)
+    r, l = out[:, :3], out[:, 3:4]
+    return (r, l) if batched else (r[0], l[0])
+
+
 @dataclasses.dataclass(frozen=True)
 class DecomNet:
     features: int = 32

@@ -182,6 +182,60 @@ def apply_fcn_pallas(
     return out if batched else out[0]
 
 
+def apply_fcn_packed(
+    params: Params,
+    x: jnp.ndarray,
+    compute_dtype: jnp.dtype = jnp.bfloat16,
+) -> jnp.ndarray:
+    """Space-to-depth block-conv variant of :func:`apply_fcn`: the dilated
+    24-channel stack runs as plain XLA convs on packed activations (96
+    lanes vs 24 — ops.patch_conv.pack_block_conv_weights; even dilation d
+    becomes packed rhs_dilation d/2 with phase-preserving weights). Pure
+    XLA, differentiable."""
+    from low_light_image_enhancement_tpu.models.layers import conv2d
+    from low_light_image_enhancement_tpu.ops.patch_conv import (
+        conv2d_block_xla,
+        depth_to_space,
+        pack_block_conv_weights,
+        space_to_depth,
+    )
+
+    batched = x.ndim == 4
+    if not batched:
+        x = x[None]
+    depth = sum(1 for k in params if k.startswith("c"))
+    dils = _dilations(depth)
+    p1 = params["c1"]
+    nhwc = jnp.transpose(x, (0, 2, 3, 1))
+    h = jax.nn.leaky_relu(
+        conv2d(nhwc, p1["w"], p1["b"], compute_dtype, dilation=dils[0]),
+        negative_slope=0.2,
+    )
+    h = space_to_depth(h)
+    for i, dil in enumerate(dils[1:], start=2):
+        p = params[f"c{i}"]
+        h = jax.nn.leaky_relu(
+            conv2d_block_xla(
+                h, pack_block_conv_weights(p["w"], dilation=dil), p["b"],
+                compute_dtype, step=max(1, dil // 2),
+            ),
+            negative_slope=0.2,
+        )
+    po = params["out"]
+    hn = depth_to_space(h)
+    out = jax.nn.sigmoid(
+        jnp.einsum(
+            "bhwc,cn->bhwn",
+            hn,
+            po["w"][0, 0].astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        )
+        + po["b"].astype(jnp.float32)
+    ).astype(jnp.float32)
+    out = jnp.transpose(out, (0, 3, 1, 2))
+    return out if batched else out[0]
+
+
 @dataclasses.dataclass(frozen=True)
 class EnhanceFCN:
     features: int = 24

@@ -248,6 +248,97 @@ def conv2d_im2col_gemm(
     return (acc + b.astype(jnp.float32)).astype(compute_dtype)
 
 
+# --------------------------------------------------------------------- #
+# Block conv: the dense-9-tap packed form as ONE XLA conv ("packed" impl).
+# --------------------------------------------------------------------- #
+
+
+def pack_block_conv_weights(
+    w: jnp.ndarray, groups: Sequence[int] = (), dilation: int = 1
+) -> jnp.ndarray:
+    """(3, 3, Cin, Cout) -> (3, 3, 4*Cin, 4*Cout) space-to-depth conv weights.
+
+    The dense-9-tap reformulation (kernels/mxu_conv.pack_dense9_weights)
+    expressed as a plain 3x3 conv over PACKED activations: tap (by, bx) is a
+    block shift, and the per-tap (4*Cin, 4*Cout) matrix carries the
+    (in-phase -> out-phase) routing as weight structure. dilation 1 =
+    cross-phase routing (original offset 2*b + p - q must land in the 3x3
+    window); even dilation d = phase-preserving taps applied with packed
+    rhs_dilation d/2. Lane utilization rises from Cin/128 to 4*Cin/128 at a
+    4x structural-FLOP inflation — a net win whenever XLA's conv lowering is
+    further than 4x below its padded ceiling, which holds at small batch
+    (<32) but not large (measured crossover: docs/PERFORMANCE.md round-3
+    conv tables). Row layout matches the packed activation layout
+    ([group][phase][ci]); columns are output-phase-major, matching
+    :func:`depth_to_space`. Differentiable (pure slice/concat packing + one
+    lax.conv), unlike the Pallas kernels.
+    """
+    w = jnp.asarray(w)
+    _, _, cin, cout = w.shape
+    groups = tuple(groups) or (cin,)
+    assert sum(groups) == cin, (groups, cin)
+    if dilation != 1 and dilation % 2:
+        raise ValueError(f"dilation must be 1 or even, got {dilation}")
+    cum = np.cumsum((0,) + groups)
+    taps = []
+    for by in (-1, 0, 1):
+        row = []
+        for bx in (-1, 0, 1):
+            rblocks = []
+            for g, cg in enumerate(groups):
+                sl = slice(int(cum[g]), int(cum[g]) + cg)
+                for p in range(4):
+                    py, px = divmod(p, 2)
+                    cols = []
+                    for q in range(4):
+                        qy, qx = divmod(q, 2)
+                        if dilation == 1:
+                            dy, dx = 2 * by + py - qy, 2 * bx + px - qx
+                            wt = (
+                                w[dy + 1, dx + 1, sl]
+                                if dy in (-1, 0, 1) and dx in (-1, 0, 1)
+                                else None
+                            )
+                        else:
+                            wt = w[by + 1, bx + 1, sl] if p == q else None
+                        cols.append(
+                            wt if wt is not None
+                            else jnp.zeros((cg, cout), w.dtype)
+                        )
+                    rblocks.append(jnp.concatenate(cols, axis=1))
+            row.append(jnp.concatenate(rblocks, axis=0))
+        taps.append(jnp.stack(row))
+    return jnp.stack(taps)
+
+
+def conv2d_block_xla(
+    xp: jnp.ndarray,
+    wk: jnp.ndarray,
+    b: jnp.ndarray,
+    compute_dtype,
+    step: int = 1,
+) -> jnp.ndarray:
+    """Packed 3x3 SAME conv as one XLA conv on space-to-depth lanes.
+
+    xp: (B, H2, W2, 4*Cin) packed activations; wk: (3, 3, 4*Cin, 4*Cout)
+    from :func:`pack_block_conv_weights`; step: 1 for dilation 1, d//2 for
+    even original dilation d. SAME zero padding on blocks reproduces the
+    original conv's SAME semantics exactly (out-of-window pixels carry
+    structural zero weights). Returns packed (B, H2, W2, 4*Cout).
+    """
+    from jax import lax
+
+    y = lax.conv_general_dilated(
+        xp.astype(compute_dtype),
+        wk.astype(compute_dtype),
+        window_strides=(1, 1),
+        padding="SAME",
+        rhs_dilation=(step, step),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return y + pack_bias(b).astype(compute_dtype)
+
+
 def even_image(h: int, w: int) -> Tuple[int, int]:
     """Round (h, w) up to even — the packed layout's only shape demand."""
     return h + (h % 2), w + (w % 2)

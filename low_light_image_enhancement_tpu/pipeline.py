@@ -84,10 +84,13 @@ def _enhance_u8_batch(
     from low_light_image_enhancement_tpu.blocks import (
         block_geometry,
         enhance_learned_block,
-        learned_halo,
+        single_block_halo,
     )
 
-    halo = learned_halo(cfg)
+    # Minimal single-block canvas: bit-identical to the full receptive-field
+    # halo (blocks.single_block_halo derivation) on a smaller canvas — for
+    # curve ds=4 at 600x400 this cuts CNN+tail rows 528->464.
+    halo = single_block_halo(cfg)
     h_core, wp = block_geometry(cfg, h, w)
     # u8 block end-to-end: normalization happens inside the block (in-kernel
     # on the fused curve/hybrid tail), quantization on the way out.
@@ -98,7 +101,7 @@ def _enhance_u8_batch(
     )
     yb = enhance_learned_block(
         xb, cfg, model_params, row0=-halo, h=h, w=w,
-        use_pallas=use_pallas, interpret=pallas_interpret,
+        use_pallas=use_pallas, interpret=pallas_interpret, halo=halo,
     )
     return jnp.transpose(yb[..., :h, m : m + w], (0, 2, 3, 1))
 

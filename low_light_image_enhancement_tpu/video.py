@@ -136,8 +136,10 @@ def video_step(
     columns are cropped by the caller.
     """
     initialized, carry = state
-    if cfg.conv_impl == "pallas" and not (use_pallas or interpret):
-        cfg = cfg.replace(conv_impl="xla")  # same gate as the block graph
+    from low_light_image_enhancement_tpu.blocks import resolve_conv_impl
+
+    cfg = resolve_conv_impl(cfg, use_pallas=use_pallas, interpret=interpret,
+                            batch=xb.shape[0] if xb.ndim == 4 else 1)
     halo = learned_halo(cfg)
     rows = xb.shape[-2] - 2 * halo
     if h is None:

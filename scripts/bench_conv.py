@@ -64,8 +64,13 @@ def _steps(method, impl, dtype):
         )
 
         params = init_curve_cnn(jax.random.PRNGKey(0))
+        from low_light_image_enhancement_tpu.models.curve_cnn import (
+            apply_curve_cnn_packed,
+        )
+
         apply = {"xla": apply_curve_cnn, "gemm": apply_curve_cnn_gemm,
-                 "pallas": apply_curve_cnn_pallas}[impl]
+                 "pallas": apply_curve_cnn_pallas,
+                 "packed": apply_curve_cnn_packed}[impl]
 
         def step(x, params=params):
             maps = apply(params, x, compute_dtype=dtype)
@@ -84,8 +89,13 @@ def _steps(method, impl, dtype):
         )
 
         params = init_fcn(jax.random.PRNGKey(0))
+        from low_light_image_enhancement_tpu.models.fcn import (
+            apply_fcn_packed,
+        )
+
         apply = {"xla": apply_fcn, "gemm": apply_fcn_gemm,
-                 "pallas": apply_fcn_pallas}[impl]
+                 "pallas": apply_fcn_pallas,
+                 "packed": apply_fcn_packed}[impl]
         return lambda x: apply(params, x, compute_dtype=dtype)
     if method == "decom":
         from low_light_image_enhancement_tpu.models.decom import (
@@ -99,8 +109,13 @@ def _steps(method, impl, dtype):
         )
 
         params = init_decom_net(jax.random.PRNGKey(0))
+        from low_light_image_enhancement_tpu.models.decom import (
+            apply_decom_net_packed,
+        )
+
         apply = {"xla": apply_decom_net, "gemm": apply_decom_net_gemm,
-                 "pallas": apply_decom_net_pallas}[impl]
+                 "pallas": apply_decom_net_pallas,
+                 "packed": apply_decom_net_packed}[impl]
         return lambda x: apply(params, x, compute_dtype=dtype)[0]
     raise ValueError(method)
 

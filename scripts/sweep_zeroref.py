@@ -51,23 +51,50 @@ from low_light_image_enhancement_tpu.train import (  # noqa: E402
     spatial_consistency_loss,
 )
 
-# (name, exposure_level, w_exposure, w_spatial, w_smooth)
+# (name, exposure_level, w_exposure, w_spatial, w_smooth, w_color)
+# Stage 1 (measured, 600 steps): best level35 ssim 0.2863; lower exposure
+# target dominated (0.35 >> 0.45 >> 0.60), TV 800 helped at 0.45.
 GRID = [
-    ("baseline-zdce", 0.60, 10.0, 1.0, 200.0),
-    ("level45", 0.45, 10.0, 1.0, 200.0),
-    ("level35", 0.35, 10.0, 1.0, 200.0),
-    ("spatial20", 0.60, 10.0, 20.0, 200.0),
-    ("level45-spatial20", 0.45, 10.0, 20.0, 200.0),
-    ("level45-spatial20-tv800", 0.45, 10.0, 20.0, 800.0),
-    ("level45-exp5-spatial20", 0.45, 5.0, 20.0, 200.0),
-    ("level50-spatial50-tv400", 0.50, 10.0, 50.0, 400.0),
+    ("baseline-zdce", 0.60, 10.0, 1.0, 200.0, 5.0),
+    ("level45", 0.45, 10.0, 1.0, 200.0, 5.0),
+    ("level35", 0.35, 10.0, 1.0, 200.0, 5.0),
+    ("spatial20", 0.60, 10.0, 20.0, 200.0, 5.0),
+    ("level45-spatial20", 0.45, 10.0, 20.0, 200.0, 5.0),
+    ("level45-spatial20-tv800", 0.45, 10.0, 20.0, 800.0, 5.0),
+    ("level45-exp5-spatial20", 0.45, 5.0, 20.0, 200.0, 5.0),
+    ("level50-spatial50-tv400", 0.50, 10.0, 50.0, 400.0, 5.0),
 ]
-W_COLOR = 5.0
+# Stage 3: stage 2 measured level25 0.3115 / level30-tv800 0.3114 (PSNR
+# 11.99), and a plain fixed gamma-0.45 scores SSIM 0.354 on this eval set
+# (identity scores 0.165, so low targets are NOT converging to a no-op) —
+# chase the gamma-like regime: level x high-TV fill-in around 0.20-0.30.
+GRID_STAGE3 = [
+    ("level20-tv800", 0.20, 10.0, 1.0, 800.0, 5.0),
+    ("level22-tv800", 0.22, 10.0, 1.0, 800.0, 5.0),
+    ("level25-tv800", 0.25, 10.0, 1.0, 800.0, 5.0),
+    ("level28-tv800", 0.28, 10.0, 1.0, 800.0, 5.0),
+    ("level25-tv1600", 0.25, 10.0, 1.0, 1600.0, 5.0),
+    ("level30-tv1600", 0.30, 10.0, 1.0, 1600.0, 5.0),
+    ("level25-spatial5-tv800", 0.25, 10.0, 5.0, 800.0, 5.0),
+    ("level22-tv800-color10", 0.22, 10.0, 1.0, 800.0, 10.0),
+]
+# Stage 2: refine around the stage-1 winner (level 0.25-0.35), vary the
+# TV and color-constancy weights that stage 1 held fixed.
+GRID_STAGE2 = [
+    ("level30", 0.30, 10.0, 1.0, 200.0, 5.0),
+    ("level25", 0.25, 10.0, 1.0, 200.0, 5.0),
+    ("level35-tv800", 0.35, 10.0, 1.0, 800.0, 5.0),
+    ("level30-tv800", 0.30, 10.0, 1.0, 800.0, 5.0),
+    ("level35-spatial20-tv800", 0.35, 10.0, 20.0, 800.0, 5.0),
+    ("level35-color20", 0.35, 10.0, 1.0, 200.0, 20.0),
+    ("level35-color0", 0.35, 10.0, 1.0, 200.0, 0.0),
+    ("level35-exp20", 0.35, 20.0, 1.0, 200.0, 5.0),
+]
 
 
 def make_shared_step(tcfg: TrainConfig, opt):
     """One compile for the whole grid: weights arrive as a traced vector
-    (level, w_exp, w_spa, w_tv); data is generated on-device."""
+    (level, w_exp, w_spa, w_tv, w_color); data is generated on-device."""
     import optax
 
     def loss_fn(params, batch, wvec):
@@ -78,7 +105,7 @@ def make_shared_step(tcfg: TrainConfig, opt):
         y = jnp.clip(apply_curves(batch, a), 0.0, 1.0)
         return (
             wvec[1] * exposure_loss(y, wvec[0])
-            + W_COLOR * color_constancy_loss(y)
+            + wvec[4] * color_constancy_loss(y)
             + wvec[2] * spatial_consistency_loss(batch, y)
             + wvec[3] * smoothness_loss(a)
         )
@@ -101,6 +128,7 @@ def main():
     ap.add_argument("--crop", type=int, default=128)
     ap.add_argument("--only", default=None)
     ap.add_argument("--save", default=None)
+    ap.add_argument("--stage", type=int, default=1, choices=(1, 2, 3))
     args = ap.parse_args()
 
     tcfg = TrainConfig(batch_size=args.batch, crop=args.crop,
@@ -110,11 +138,12 @@ def main():
     cfg = PipelineConfig(method="curve")
     pipe = EnhancePipeline(cfg)  # jit takes params as an arg -> one compile
 
-    grid = [g for g in GRID if args.only in (None, g[0])]
+    full = {1: GRID, 2: GRID_STAGE2, 3: GRID_STAGE3}[args.stage]
+    grid = [g for g in full if args.only in (None, g[0])]
     best = None
-    for name, level, w_exp, w_spa, w_tv in grid:
+    for name, level, w_exp, w_spa, w_tv, w_col in grid:
         params, opt_state = init_train_state(tcfg, seed=0)
-        wvec = jnp.asarray([level, w_exp, w_spa, w_tv], jnp.float32)
+        wvec = jnp.asarray([level, w_exp, w_spa, w_tv, w_col], jnp.float32)
         key = jax.random.PRNGKey(0)
         t0 = time.time()
         loss = None
@@ -131,7 +160,8 @@ def main():
         rep = eval_lol(pipeline=pipe, parity=False)
         row = {
             "name": name, "exposure_level": level, "w_exposure": w_exp,
-            "w_spatial": w_spa, "w_smooth": w_tv, "steps": args.steps,
+            "w_spatial": w_spa, "w_smooth": w_tv, "w_color": w_col,
+            "steps": args.steps,
             "final_loss": round(loss, 4), "train_s": round(train_s, 1),
             "psnr": round(rep["psnr_mean"], 2),
             "ssim": round(rep["ssim_mean"], 4),

@@ -36,6 +36,10 @@ def test_cli_enhance_with_overrides(tmp_path):
         "enhance", str(src), str(tmp_path / "o3.png"),
         "--method", "decom", "--decom-gamma", "0.1", "--no-pallas",
     ]) == 0
+    assert main([
+        "enhance", str(src), str(tmp_path / "o4.png"),
+        "--method", "fcn", "--conv-impl", "packed", "--no-pallas",
+    ]) == 0
 
 
 def test_cli_eval_json_report(tmp_path, capsys, monkeypatch):
