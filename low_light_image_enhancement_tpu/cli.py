@@ -39,6 +39,10 @@ def _add_config_args(p: argparse.ArgumentParser) -> None:
                    help="learned-model conv lowering (auto: packed on TPU)")
     p.add_argument("--no-pallas", action="store_true",
                    help="force the pure-jnp reference path")
+    p.add_argument("--weights", default=None,
+                   help="model weights: an .npz path or a shipped name "
+                        "(zeroref, curve, hybrid, fcn, decom); default: "
+                        "the method's shipped weights")
 
 
 def _build_config(args) -> PipelineConfig:
@@ -60,10 +64,18 @@ def _build_config(args) -> PipelineConfig:
     return cfg.replace(**over) if over else cfg
 
 
+def _model_params(args):
+    if getattr(args, "weights", None) is None:
+        return None
+    from low_light_image_enhancement_tpu.models.weights import resolve_weights
+
+    return resolve_weights(args.weights)
+
+
 def cmd_enhance(args) -> int:
     from low_light_image_enhancement_tpu.pipeline import EnhancePipeline
 
-    pipe = EnhancePipeline(_build_config(args))
+    pipe = EnhancePipeline(_build_config(args), model_params=_model_params(args))
     pipe.enhance_file(args.input, args.output)
     print(f"wrote {args.output}")
     return 0
@@ -75,7 +87,7 @@ def cmd_eval(args) -> int:
     from low_light_image_enhancement_tpu.pipeline import EnhancePipeline
 
     ds = LOLDataset(root=args.data_dir, split=args.split)
-    pipe = EnhancePipeline(_build_config(args))
+    pipe = EnhancePipeline(_build_config(args), model_params=_model_params(args))
     report = eval_lol(pipe, ds, max_images=args.max_images,
                       parity=not args.no_parity)
     print(json.dumps(report, indent=2))

@@ -53,9 +53,33 @@ def load_params(path: Union[str, Path]) -> Dict[str, Any]:
     return out
 
 
+# Shipped weights addressable by NAME (beyond the per-method defaults):
+# "zeroref" is the rehabilitated zero-reference curve recipe of record
+# (scripts/sweep_zeroref.py; docs/PERFORMANCE.md zero-reference section) —
+# trained with no ground truth, unlike the paired curve_cnn.npz default.
+NAMED = dict(PRETRAINED)
+NAMED["zeroref"] = _WEIGHTS_DIR / "curve_zeroref.npz"
+
+
 def load_pretrained(method: str) -> Optional[Dict[str, Any]]:
     """Load the repo-shipped weights for a pipeline method, or None."""
     path = PRETRAINED.get(method)
     if path is not None and path.exists():
         return load_params(path)
     return None
+
+
+def resolve_weights(name_or_path: Union[str, Path]) -> Dict[str, Any]:
+    """Load params from a shipped name (``zeroref``, ``curve``, ``hybrid``,
+    ``fcn``, ``decom``) or an .npz path. Raises FileNotFoundError with the
+    known names listed when neither resolves."""
+    p = Path(name_or_path)
+    if p.exists():
+        return load_params(p)
+    named = NAMED.get(str(name_or_path))
+    if named is not None and named.exists():
+        return load_params(named)
+    raise FileNotFoundError(
+        f"weights {name_or_path!r} is neither a file nor a shipped name "
+        f"(shipped: {sorted(k for k, v in NAMED.items() if v.exists())})"
+    )

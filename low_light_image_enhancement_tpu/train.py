@@ -88,15 +88,19 @@ class TrainConfig:
     learning_rate: float = 1e-4
     weight_decay: float = 1e-4
     steps: int = 1000
-    # loss weights (Zero-DCE-style magnitudes)
+    # Zero-reference loss weights: the swept recipe of record
+    # (scripts/sweep_zeroref.py "level25-tv1600" — SSIM 0.329 on the
+    # hardened eval set vs classical retinex 0.32; the textbook Zero-DCE
+    # magnitudes exposure_level 0.6 / w_smooth 200 measure SSIM 0.14
+    # there, docs/PERFORMANCE.md zero-reference section).
     w_exposure: float = 10.0
     w_color: float = 5.0
     w_spatial: float = 1.0
-    w_smooth: float = 200.0
+    w_smooth: float = 1600.0
     # TV weight for the *paired* curve objective (paired_curve_loss): much
     # weaker than the zero-reference prior — the GT supplies the structure.
     w_smooth_paired: float = 20.0
-    exposure_level: float = 0.6
+    exposure_level: float = 0.25
     log_every: int = 50
     checkpoint_every: int = 500
     compute_dtype: str = "float32"

@@ -78,6 +78,17 @@ GRID_STAGE3 = [
     ("level25-spatial5-tv800", 0.25, 10.0, 5.0, 800.0, 5.0),
     ("level22-tv800-color10", 0.22, 10.0, 1.0, 800.0, 10.0),
 ]
+# Stage 4 (final, run at --steps 6000): stage 3 crossed the bar —
+# level25-tv1600 0.329, level22-tv800 0.3281, level20-tv800 0.3277, all >
+# classical 0.32 — refine the level/TV plateau and let longer training
+# decide the shipped recipe.
+GRID_STAGE4 = [
+    ("level25-tv1600", 0.25, 10.0, 1.0, 1600.0, 5.0),
+    ("level22-tv1600", 0.22, 10.0, 1.0, 1600.0, 5.0),
+    ("level23-tv1600", 0.23, 10.0, 1.0, 1600.0, 5.0),
+    ("level25-tv2400", 0.25, 10.0, 1.0, 2400.0, 5.0),
+    ("level27-tv1600", 0.27, 10.0, 1.0, 1600.0, 5.0),
+]
 # Stage 2: refine around the stage-1 winner (level 0.25-0.35), vary the
 # TV and color-constancy weights that stage 1 held fixed.
 GRID_STAGE2 = [
@@ -128,7 +139,7 @@ def main():
     ap.add_argument("--crop", type=int, default=128)
     ap.add_argument("--only", default=None)
     ap.add_argument("--save", default=None)
-    ap.add_argument("--stage", type=int, default=1, choices=(1, 2, 3))
+    ap.add_argument("--stage", type=int, default=1, choices=(1, 2, 3, 4))
     args = ap.parse_args()
 
     tcfg = TrainConfig(batch_size=args.batch, crop=args.crop,
@@ -138,7 +149,8 @@ def main():
     cfg = PipelineConfig(method="curve")
     pipe = EnhancePipeline(cfg)  # jit takes params as an arg -> one compile
 
-    full = {1: GRID, 2: GRID_STAGE2, 3: GRID_STAGE3}[args.stage]
+    full = {1: GRID, 2: GRID_STAGE2, 3: GRID_STAGE3,
+            4: GRID_STAGE4}[args.stage]
     grid = [g for g in full if args.only in (None, g[0])]
     best = None
     for name, level, w_exp, w_spa, w_tv, w_col in grid:

@@ -61,6 +61,31 @@ def test_cli_all_methods_reachable(tmp_path):
         ]) == 0
 
 
+def test_cli_weights_flag(tmp_path):
+    """--weights accepts a shipped name and an .npz path; a bad name fails
+    with the shipped names listed."""
+    import pytest
+
+    from low_light_image_enhancement_tpu.models.weights import NAMED
+
+    low, _ = synth_pair(2, 32, 48)
+    src = tmp_path / "in.png"
+    encode_image(low, src)
+    assert main([
+        "enhance", str(src), str(tmp_path / "zr.png"),
+        "--method", "curve", "--weights", "zeroref",
+    ]) == 0
+    assert main([
+        "enhance", str(src), str(tmp_path / "path.png"),
+        "--method", "curve", "--weights", str(NAMED["zeroref"]),
+    ]) == 0
+    with pytest.raises(FileNotFoundError, match="zeroref"):
+        main([
+            "enhance", str(src), str(tmp_path / "bad.png"),
+            "--method", "curve", "--weights", "nope",
+        ])
+
+
 def test_cli_train_tiny(tmp_path):
     assert main([
         "train", "--batch", "2", "--crop", "32", "--steps", "2",

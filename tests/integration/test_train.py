@@ -54,7 +54,12 @@ def test_train_step_sharded_matches_single_device():
     sharded = make_train_step(tcfg8, mesh)
     p1, _, m1 = single(params, opt_state, batch)
     p2, _, m2 = sharded(params, opt_state, batch)
-    assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-5
+    # Relative tolerance: sharded evaluation sums the (w_smooth-1600-scaled
+    # since the round-3 swept recipe) loss terms in a different f32
+    # reduction order, which moves the scalar by a few dozen ulps (measured
+    # 3e-6 relative); the weight assertion below stays the tight check.
+    l1, l2 = float(m1["loss"]), float(m2["loss"])
+    np.testing.assert_allclose(l1, l2, rtol=1e-5)
     w1 = np.asarray(p1["c1"]["w"])
     w2 = np.asarray(p2["c1"]["w"])
     np.testing.assert_allclose(w1, w2, atol=1e-6)
