@@ -26,6 +26,7 @@ either way.
 from __future__ import annotations
 
 import math
+from functools import partial
 from typing import Any, Dict, Optional
 
 import jax
@@ -212,8 +213,9 @@ def _curve_maps_lowres(
             compute_dtype=jnp.dtype(cfg.compute_dtype), interpret=interpret,
         )
     apply = {"gemm": apply_curve_cnn_gemm,
-             "packed": apply_curve_cnn_packed}.get(cfg.conv_impl,
-                                                   apply_curve_cnn)
+             "packed": apply_curve_cnn_packed,
+             "packed12": partial(apply_curve_cnn_packed, block=(1, 2)),
+             }.get(cfg.conv_impl, apply_curve_cnn)
     return apply(
         params, cnn_in, n_iter=cfg.curve_iters,
         compute_dtype=jnp.dtype(cfg.compute_dtype),
@@ -341,8 +343,9 @@ def enhance_learned_block(
             )
         else:
             apply = {"gemm": apply_fcn_gemm,
-                     "packed": apply_fcn_packed}.get(cfg.conv_impl,
-                                                     apply_fcn)
+                     "packed": apply_fcn_packed,
+                     "packed12": partial(apply_fcn_packed, block=(1, 2)),
+                     }.get(cfg.conv_impl, apply_fcn)
             y = apply(model_params, cnn_in,
                       compute_dtype=jnp.dtype(cfg.compute_dtype))
         y = jnp.clip(y, 0.0, 1.0)
@@ -362,8 +365,10 @@ def enhance_learned_block(
             )
         else:
             apply = {"gemm": apply_decom_net_gemm,
-                     "packed": apply_decom_net_packed}.get(cfg.conv_impl,
-                                                           apply_decom_net)
+                     "packed": apply_decom_net_packed,
+                     "packed12": partial(apply_decom_net_packed,
+                                         block=(1, 2)),
+                     }.get(cfg.conv_impl, apply_decom_net)
             r, l = apply(
                 model_params, cnn_in,
                 compute_dtype=jnp.dtype(cfg.compute_dtype),

@@ -34,7 +34,8 @@ def _add_config_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--curve-downsample", type=int, choices=[1, 2, 4, 8],
                    default=None, help="estimate curve maps at 1/N res")
     p.add_argument("--conv-impl",
-                   choices=["auto", "xla", "pallas", "gemm", "packed"],
+                   choices=["auto", "xla", "pallas", "gemm", "packed",
+                            "packed12"],
                    default=None,
                    help="learned-model conv lowering (auto: packed on TPU)")
     p.add_argument("--no-pallas", action="store_true",

@@ -112,6 +112,11 @@ class PipelineConfig:
                                  # (ops.patch_conv.conv2d_block_xla), 4x
                                  # lane fill at 4x structural FLOPs;
                                  # differentiable, runs everywhere.
+                                 # "packed12": the (1, 2) half-packing —
+                                 # 2x lane fill at only 2x structural
+                                 # FLOPs, for the mid-batch regime between
+                                 # packed's small-batch win and xla's
+                                 # large-batch win.
 
     # --- sharding (config 5) -------------------------------------------------
     spatial_shards: int = 1      # >1: shard H across `spatial` mesh axis
@@ -153,10 +158,11 @@ class PipelineConfig:
             raise ValueError(
                 f"denoise_taps must be one of {TAPS}: {self.denoise_taps!r}"
             )
-        if self.conv_impl not in ("auto", "xla", "pallas", "gemm", "packed"):
+        if self.conv_impl not in ("auto", "xla", "pallas", "gemm", "packed",
+                                  "packed12"):
             raise ValueError(
-                "conv_impl must be 'auto', 'xla', 'pallas', 'gemm' or "
-                f"'packed': {self.conv_impl!r}"
+                "conv_impl must be 'auto', 'xla', 'pallas', 'gemm', "
+                f"'packed' or 'packed12': {self.conv_impl!r}"
             )
         if self.curve_downsample not in (1, 2, 4, 8):
             raise ValueError(

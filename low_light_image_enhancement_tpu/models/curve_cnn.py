@@ -183,6 +183,7 @@ def apply_curve_cnn_packed(
     x: jnp.ndarray,
     n_iter: int = 8,
     compute_dtype: jnp.dtype = jnp.bfloat16,
+    block: tuple = (2, 2),
 ) -> jnp.ndarray:
     """Space-to-depth block-conv variant of :func:`apply_curve_cnn`: the
     32-channel core runs as plain XLA convs on packed activations (128 full
@@ -208,14 +209,14 @@ def apply_curve_cnn_packed(
     def cv(name, h, groups, act):
         p = params[name]
         y = conv2d_block_xla(
-            h, pack_block_conv_weights(p["w"], groups=groups), p["b"],
-            compute_dtype,
+            h, pack_block_conv_weights(p["w"], groups=groups, block=block),
+            p["b"], compute_dtype,
         )
         return act(y)
 
     p1 = params["c1"]
     x1 = space_to_depth(
-        jax.nn.relu(conv2d(nhwc, p1["w"], p1["b"], compute_dtype))
+        jax.nn.relu(conv2d(nhwc, p1["w"], p1["b"], compute_dtype)), block
     )
     x2 = cv("c2", x1, (f,), jax.nn.relu)
     x3 = cv("c3", x2, (f,), jax.nn.relu)
@@ -223,7 +224,7 @@ def apply_curve_cnn_packed(
     x5 = cv("c5", jnp.concatenate([x3, x4], -1), (f, f), jax.nn.relu)
     x6 = cv("c6", jnp.concatenate([x2, x5], -1), (f, f), jax.nn.relu)
     a = cv("c7", jnp.concatenate([x1, x6], -1), (f, f), jnp.tanh)
-    a = depth_to_space(a).astype(jnp.float32)
+    a = depth_to_space(a, block).astype(jnp.float32)
 
     b, h, w, _ = a.shape
     a = jnp.transpose(a, (0, 3, 1, 2)).reshape(b, n_iter, 3, h, w)

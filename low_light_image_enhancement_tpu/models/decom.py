@@ -140,6 +140,7 @@ def apply_decom_net_packed(
     params: Params,
     x: jnp.ndarray,
     compute_dtype: jnp.dtype = jnp.bfloat16,
+    block: tuple = (2, 2),
 ):
     """Space-to-depth block-conv variant of :func:`apply_decom_net`: the
     32-channel core runs as plain XLA convs on packed activations (128 full
@@ -160,17 +161,18 @@ def apply_decom_net_packed(
     nhwc = jnp.transpose(jnp.concatenate([x, mx], axis=1), (0, 2, 3, 1))
     p1 = params["c1"]
     h = jax.nn.relu(conv2d(nhwc, p1["w"], p1["b"], compute_dtype))
-    h = space_to_depth(h)
+    h = space_to_depth(h, block)
     for i in range(2, 5):
         p = params[f"c{i}"]
         h = jax.nn.relu(
             conv2d_block_xla(
-                h, pack_block_conv_weights(p["w"]), p["b"], compute_dtype
+                h, pack_block_conv_weights(p["w"], block=block), p["b"],
+                compute_dtype
             )
         )
     p5 = params["c5"]
     out = jax.nn.sigmoid(
-        conv2d(depth_to_space(h), p5["w"], p5["b"], compute_dtype)
+        conv2d(depth_to_space(h, block), p5["w"], p5["b"], compute_dtype)
     ).astype(jnp.float32)
     out = jnp.transpose(out, (0, 3, 1, 2))  # (B, 4, H, W)
     r, l = out[:, :3], out[:, 3:4]

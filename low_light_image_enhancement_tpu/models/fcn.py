@@ -186,12 +186,14 @@ def apply_fcn_packed(
     params: Params,
     x: jnp.ndarray,
     compute_dtype: jnp.dtype = jnp.bfloat16,
+    block: tuple = (2, 2),
 ) -> jnp.ndarray:
     """Space-to-depth block-conv variant of :func:`apply_fcn`: the dilated
     24-channel stack runs as plain XLA convs on packed activations (96
     lanes vs 24 — ops.patch_conv.pack_block_conv_weights; even dilation d
-    becomes packed rhs_dilation d/2 with phase-preserving weights). Pure
-    XLA, differentiable."""
+    becomes packed rhs_dilation d/block with phase-preserving weights).
+    ``block=(1, 2)`` is the half-packing (48 lanes, 2x structural FLOPs)
+    for the mid-batch regime. Pure XLA, differentiable."""
     from low_light_image_enhancement_tpu.models.layers import conv2d
     from low_light_image_enhancement_tpu.ops.patch_conv import (
         conv2d_block_xla,
@@ -200,6 +202,7 @@ def apply_fcn_packed(
         space_to_depth,
     )
 
+    bh, bw = block
     batched = x.ndim == 4
     if not batched:
         x = x[None]
@@ -211,18 +214,20 @@ def apply_fcn_packed(
         conv2d(nhwc, p1["w"], p1["b"], compute_dtype, dilation=dils[0]),
         negative_slope=0.2,
     )
-    h = space_to_depth(h)
+    h = space_to_depth(h, block)
     for i, dil in enumerate(dils[1:], start=2):
         p = params[f"c{i}"]
         h = jax.nn.leaky_relu(
             conv2d_block_xla(
-                h, pack_block_conv_weights(p["w"], dilation=dil), p["b"],
-                compute_dtype, step=max(1, dil // 2),
+                h, pack_block_conv_weights(p["w"], dilation=dil,
+                                           block=block), p["b"],
+                compute_dtype,
+                step=(max(1, dil // bh), max(1, dil // bw)),
             ),
             negative_slope=0.2,
         )
     po = params["out"]
-    hn = depth_to_space(h)
+    hn = depth_to_space(h, block)
     out = jax.nn.sigmoid(
         jnp.einsum(
             "bhwc,cn->bhwn",

@@ -50,23 +50,34 @@ import numpy as np
 _OFFS = (-1, 0, 1, 2)
 
 
-def space_to_depth(x: jnp.ndarray) -> jnp.ndarray:
-    """(B, H, W, C) -> (B, H/2, W/2, 4C), feature index = (py*2+px)*C + c."""
+def space_to_depth(
+    x: jnp.ndarray, block: Tuple[int, int] = (2, 2)
+) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, H/bh, W/bw, bh*bw*C), feature index =
+    (py*bw+px)*C + c. ``block=(1, 2)`` is the half-packing used in the
+    mid-batch conv regime (2x lane fill at 2x structural FLOPs)."""
+    bh, bw = block
     b, h, w, c = x.shape
-    if h % 2 or w % 2:
-        raise ValueError(f"space_to_depth needs even H, W; got {h}x{w}")
-    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    if h % bh or w % bw:
+        raise ValueError(f"space_to_depth{block} needs H%{bh}==W%{bw}==0; "
+                         f"got {h}x{w}")
+    x = x.reshape(b, h // bh, bh, w // bw, bw, c)
     return jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(
-        b, h // 2, w // 2, 4 * c
+        b, h // bh, w // bw, bh * bw * c
     )
 
 
-def depth_to_space(x: jnp.ndarray) -> jnp.ndarray:
+def depth_to_space(
+    x: jnp.ndarray, block: Tuple[int, int] = (2, 2)
+) -> jnp.ndarray:
     """Inverse of :func:`space_to_depth`."""
-    b, h2, w2, c4 = x.shape
-    c = c4 // 4
-    x = x.reshape(b, h2, w2, 2, 2, c)
-    return jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(b, 2 * h2, 2 * w2, c)
+    bh, bw = block
+    b, h2, w2, cp = x.shape
+    c = cp // (bh * bw)
+    x = x.reshape(b, h2, w2, bh, bw, c)
+    return jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(
+        b, bh * h2, bw * w2, c
+    )
 
 
 def pack_patch_weights(
@@ -108,9 +119,9 @@ def pack_patch_weights(
     return jnp.stack(rows_per_oy)
 
 
-def pack_bias(b: jnp.ndarray) -> jnp.ndarray:
-    """(Cout,) -> (4*Cout,): bias replicated per output phase."""
-    return jnp.tile(jnp.asarray(b), 4)
+def pack_bias(b: jnp.ndarray, phases: int = 4) -> jnp.ndarray:
+    """(Cout,) -> (phases*Cout,): bias replicated per output phase."""
+    return jnp.tile(jnp.asarray(b), phases)
 
 
 def _phase_plane(xp: jnp.ndarray, p: int, c: int) -> jnp.ndarray:
@@ -253,32 +264,61 @@ def conv2d_im2col_gemm(
 # --------------------------------------------------------------------- #
 
 
+def _axis_tap(t: int, p: int, q: int, block: int, dilation: int):
+    """Original-weight tap index along one axis for packed tap ``t`` and
+    (in, out) phases ``p, q`` under ``block``-packing with ``dilation`` —
+    or None when that (t, p, q) combination is structurally zero.
+
+    block == 1: the axis is unpacked; the packed conv runs rhs_dilation =
+    ``dilation`` and tap t maps straight through (phases are trivial).
+    block > 1, dilation == 1: cross-phase routing — original offset
+    block*t + p - q must land in the 3x3 window.
+    block > 1, dilation % block == 0: taps preserve phase (offsets are
+    multiples of the block) and the packed conv runs rhs_dilation =
+    ``dilation // block``.
+    """
+    if block == 1:
+        return t
+    if dilation == 1:
+        d = block * t + p - q
+        return d if d in (-1, 0, 1) else None
+    if dilation % block == 0:
+        return t if p == q else None
+    raise ValueError(
+        f"dilation {dilation} incompatible with block {block}: need 1, "
+        f"block==1, or dilation % block == 0"
+    )
+
+
 def pack_block_conv_weights(
-    w: jnp.ndarray, groups: Sequence[int] = (), dilation: int = 1
+    w: jnp.ndarray,
+    groups: Sequence[int] = (),
+    dilation: int = 1,
+    block: Tuple[int, int] = (2, 2),
 ) -> jnp.ndarray:
-    """(3, 3, Cin, Cout) -> (3, 3, 4*Cin, 4*Cout) space-to-depth conv weights.
+    """(3, 3, Cin, Cout) -> (3, 3, P*Cin, P*Cout) space-to-depth conv
+    weights, P = block_h * block_w phases.
 
     The dense-9-tap reformulation (kernels/mxu_conv.pack_dense9_weights)
     expressed as a plain 3x3 conv over PACKED activations: tap (by, bx) is a
-    block shift, and the per-tap (4*Cin, 4*Cout) matrix carries the
-    (in-phase -> out-phase) routing as weight structure. dilation 1 =
-    cross-phase routing (original offset 2*b + p - q must land in the 3x3
-    window); even dilation d = phase-preserving taps applied with packed
-    rhs_dilation d/2. Lane utilization rises from Cin/128 to 4*Cin/128 at a
-    4x structural-FLOP inflation — a net win whenever XLA's conv lowering is
-    further than 4x below its padded ceiling, which holds at small batch
-    (<32) but not large (measured crossover: docs/PERFORMANCE.md round-3
-    conv tables). Row layout matches the packed activation layout
-    ([group][phase][ci]); columns are output-phase-major, matching
-    :func:`depth_to_space`. Differentiable (pure slice/concat packing + one
-    lax.conv), unlike the Pallas kernels.
+    block shift, and the per-tap (P*Cin, P*Cout) matrix carries the
+    (in-phase -> out-phase) routing as weight structure (per-axis rules in
+    :func:`_axis_tap`; even dilation d runs packed rhs_dilation d/block).
+    Lane utilization rises from Cin/128 to P*Cin/128 at a P-times
+    structural-FLOP inflation — block (2,2) wins at small batch (<32),
+    the (1,2) half-packing targets the mid-batch regime (2x fill at only
+    2x FLOPs); XLA's own lowering wins at large batch (measured crossover:
+    docs/PERFORMANCE.md round-3 conv tables). Row layout matches the packed
+    activation layout ([group][phase][ci]); columns are output-phase-major,
+    matching :func:`depth_to_space`. Differentiable (pure slice/concat
+    packing + one lax.conv), unlike the Pallas kernels.
     """
     w = jnp.asarray(w)
     _, _, cin, cout = w.shape
+    bh, bw = block
+    nP = bh * bw
     groups = tuple(groups) or (cin,)
     assert sum(groups) == cin, (groups, cin)
-    if dilation != 1 and dilation % 2:
-        raise ValueError(f"dilation must be 1 or even, got {dilation}")
     cum = np.cumsum((0,) + groups)
     taps = []
     for by in (-1, 0, 1):
@@ -287,22 +327,16 @@ def pack_block_conv_weights(
             rblocks = []
             for g, cg in enumerate(groups):
                 sl = slice(int(cum[g]), int(cum[g]) + cg)
-                for p in range(4):
-                    py, px = divmod(p, 2)
+                for p in range(nP):
+                    py, px = divmod(p, bw)
                     cols = []
-                    for q in range(4):
-                        qy, qx = divmod(q, 2)
-                        if dilation == 1:
-                            dy, dx = 2 * by + py - qy, 2 * bx + px - qx
-                            wt = (
-                                w[dy + 1, dx + 1, sl]
-                                if dy in (-1, 0, 1) and dx in (-1, 0, 1)
-                                else None
-                            )
-                        else:
-                            wt = w[by + 1, bx + 1, sl] if p == q else None
+                    for q in range(nP):
+                        qy, qx = divmod(q, bw)
+                        dy = _axis_tap(by, py, qy, bh, dilation)
+                        dx = _axis_tap(bx, px, qx, bw, dilation)
                         cols.append(
-                            wt if wt is not None
+                            w[dy + 1, dx + 1, sl]
+                            if dy is not None and dx is not None
                             else jnp.zeros((cg, cout), w.dtype)
                         )
                     rblocks.append(jnp.concatenate(cols, axis=1))
@@ -316,27 +350,30 @@ def conv2d_block_xla(
     wk: jnp.ndarray,
     b: jnp.ndarray,
     compute_dtype,
-    step: int = 1,
+    step=1,
 ) -> jnp.ndarray:
     """Packed 3x3 SAME conv as one XLA conv on space-to-depth lanes.
 
-    xp: (B, H2, W2, 4*Cin) packed activations; wk: (3, 3, 4*Cin, 4*Cout)
-    from :func:`pack_block_conv_weights`; step: 1 for dilation 1, d//2 for
-    even original dilation d. SAME zero padding on blocks reproduces the
-    original conv's SAME semantics exactly (out-of-window pixels carry
-    structural zero weights). Returns packed (B, H2, W2, 4*Cout).
+    xp: (B, Hb, Wb, P*Cin) packed activations; wk: (3, 3, P*Cin, P*Cout)
+    from :func:`pack_block_conv_weights`; step: packed rhs_dilation — 1 for
+    dilation 1, d//block per axis for even original dilation d (int or
+    (step_y, step_x)). SAME zero padding on blocks reproduces the original
+    conv's SAME semantics exactly (out-of-window pixels carry structural
+    zero weights). Returns packed (B, Hb, Wb, P*Cout).
     """
     from jax import lax
 
+    steps = (step, step) if isinstance(step, int) else tuple(step)
+    phases = wk.shape[3] // b.shape[0]
     y = lax.conv_general_dilated(
         xp.astype(compute_dtype),
         wk.astype(compute_dtype),
         window_strides=(1, 1),
         padding="SAME",
-        rhs_dilation=(step, step),
+        rhs_dilation=steps,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
-    return y + pack_bias(b).astype(compute_dtype)
+    return y + pack_bias(b, phases).astype(compute_dtype)
 
 
 def even_image(h: int, w: int) -> Tuple[int, int]:

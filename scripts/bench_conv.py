@@ -70,7 +70,9 @@ def _steps(method, impl, dtype):
 
         apply = {"xla": apply_curve_cnn, "gemm": apply_curve_cnn_gemm,
                  "pallas": apply_curve_cnn_pallas,
-                 "packed": apply_curve_cnn_packed}[impl]
+                 "packed": apply_curve_cnn_packed,
+                 "packed12": lambda p, x, compute_dtype: apply_curve_cnn_packed(
+                     p, x, compute_dtype=compute_dtype, block=(1, 2))}[impl]
 
         def step(x, params=params):
             maps = apply(params, x, compute_dtype=dtype)
@@ -95,7 +97,9 @@ def _steps(method, impl, dtype):
 
         apply = {"xla": apply_fcn, "gemm": apply_fcn_gemm,
                  "pallas": apply_fcn_pallas,
-                 "packed": apply_fcn_packed}[impl]
+                 "packed": apply_fcn_packed,
+                 "packed12": lambda p, x, compute_dtype: apply_fcn_packed(
+                     p, x, compute_dtype=compute_dtype, block=(1, 2))}[impl]
         return lambda x: apply(params, x, compute_dtype=dtype)
     if method == "decom":
         from low_light_image_enhancement_tpu.models.decom import (
@@ -115,7 +119,9 @@ def _steps(method, impl, dtype):
 
         apply = {"xla": apply_decom_net, "gemm": apply_decom_net_gemm,
                  "pallas": apply_decom_net_pallas,
-                 "packed": apply_decom_net_packed}[impl]
+                 "packed": apply_decom_net_packed,
+                 "packed12": lambda p, x, compute_dtype: apply_decom_net_packed(
+                     p, x, compute_dtype=compute_dtype, block=(1, 2))}[impl]
         return lambda x: apply(params, x, compute_dtype=dtype)[0]
     raise ValueError(method)
 

@@ -58,6 +58,54 @@ def test_block_conv_layer_matches_reference_dilations():
         np.testing.assert_allclose(got, want, atol=3e-6, err_msg=f"dil={dil}")
 
 
+def test_block_conv_layer_matches_reference_half_packing():
+    """block=(1, 2) half-packing vs lax.conv at every model dilation."""
+    from low_light_image_enhancement_tpu.models.layers import conv2d
+    from low_light_image_enhancement_tpu.ops.patch_conv import depth_to_space
+
+    key = jax.random.PRNGKey(10)
+    x = _img(key, (2, 40, 48, 8))
+    w = jax.random.normal(jax.random.PRNGKey(11), (3, 3, 8, 8)) * 0.2
+    b = jnp.zeros((8,))
+    xp = space_to_depth(x, (1, 2))
+    for dil in (1, 2, 4, 8, 16, 32):
+        want = np.asarray(conv2d(x, w, b, jnp.float32, dilation=dil))
+        got = conv2d_block_xla(
+            xp,
+            pack_block_conv_weights(w, dilation=dil, block=(1, 2)),
+            b, jnp.float32, step=(dil, max(1, dil // 2)),
+        )
+        got = np.asarray(depth_to_space(got, (1, 2)))
+        np.testing.assert_allclose(got, want, atol=3e-6, err_msg=f"dil={dil}")
+
+
+def test_model_packed_half_block_matches_reference():
+    """block=(1, 2) end-to-end on all three model stacks."""
+    params = init_curve_cnn(jax.random.PRNGKey(20))
+    x = _img(jax.random.PRNGKey(21), (2, 3, 24, 32))
+    want = np.asarray(apply_curve_cnn(params, x))
+    got = np.asarray(apply_curve_cnn_packed(
+        params, x, compute_dtype=jnp.float32, block=(1, 2)))
+    np.testing.assert_allclose(got, want, atol=3e-5)
+
+    params = init_fcn(jax.random.PRNGKey(22))
+    x = _img(jax.random.PRNGKey(23), (1, 3, 80, 96))
+    want = np.asarray(apply_fcn(params, x))
+    got = np.asarray(apply_fcn_packed(
+        params, x, compute_dtype=jnp.float32, block=(1, 2)))
+    np.testing.assert_allclose(got, want, atol=3e-5)
+
+    params = init_decom_net(jax.random.PRNGKey(24))
+    x = _img(jax.random.PRNGKey(25), (2, 3, 16, 24))
+    want_r, want_l = apply_decom_net(params, x)
+    got_r, got_l = apply_decom_net_packed(
+        params, x, compute_dtype=jnp.float32, block=(1, 2))
+    np.testing.assert_allclose(np.asarray(got_r), np.asarray(want_r),
+                               atol=3e-5)
+    np.testing.assert_allclose(np.asarray(got_l), np.asarray(want_l),
+                               atol=3e-5)
+
+
 def test_block_conv_groups_match_concat():
     """groups=(c, c) routing equals a conv over the channel concat."""
     from low_light_image_enhancement_tpu.models.layers import conv2d
@@ -139,7 +187,31 @@ def test_pipeline_conv_impl_packed_routes():
     from low_light_image_enhancement_tpu.config import PipelineConfig
 
     PipelineConfig(method="curve", conv_impl="packed")  # validates
+    PipelineConfig(method="fcn", conv_impl="packed12")
     import pytest
 
     with pytest.raises(ValueError):
         PipelineConfig(method="curve", conv_impl="blocked")
+
+
+def test_pipeline_packed_impls_match_xla_end_to_end():
+    """u8 enhance output through the full block graph is within one u8
+    rounding step of the xla route for both packing variants (f32 compute
+    pins the only expected divergence to quantize-boundary ties)."""
+    from low_light_image_enhancement_tpu.config import PipelineConfig
+    from low_light_image_enhancement_tpu.pipeline import EnhancePipeline
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 100, (37, 46, 3), np.uint8)  # odd H, even W pad
+    outs = {}
+    for impl in ("xla", "packed", "packed12"):
+        pipe = EnhancePipeline(
+            PipelineConfig(method="fcn", conv_impl=impl,
+                           compute_dtype="float32"),
+            rng_seed=3,
+        )
+        outs[impl] = pipe.enhance(img).astype(np.int16)
+    for impl in ("packed", "packed12"):
+        d = np.abs(outs[impl] - outs["xla"])
+        assert d.max() <= 1, (impl, d.max())
+        assert (d > 0).mean() < 1e-2, (impl, (d > 0).mean())
