@@ -1,7 +1,10 @@
-"""Command-line interface: ``llie enhance | eval | bench | train``.
+"""Command-line interface: ``llie enhance | eval | bench | train | serve |
+video``.
 
 Spec: BASELINE.json north_star public API ("enhance(image)->image, dataset
-eval scripts") exposed as a CLI (SURVEY.md L6).
+eval scripts") exposed as a CLI (SURVEY.md L6); ``serve`` fronts the
+micro-batching EnhanceServer over HTTP (http_server.py) and ``video`` runs
+the temporally-stable frame-sequence path (video.py).
 """
 
 from __future__ import annotations
@@ -157,6 +160,60 @@ def cmd_train(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    from low_light_image_enhancement_tpu.http_server import HttpEnhanceServer
+    from low_light_image_enhancement_tpu.pipeline import EnhancePipeline
+    from low_light_image_enhancement_tpu.serving import EnhanceServer
+
+    cfg = _build_config(args)
+    pipe = EnhancePipeline(cfg, model_params=_model_params(args),
+                           bucket=args.bucket)
+    backend = EnhanceServer(
+        cfg, pipeline=pipe, max_batch=args.max_batch,
+        max_delay_ms=args.max_delay_ms, max_queue=args.max_queue,
+        overflow=args.overflow,
+    )
+    srv = HttpEnhanceServer(cfg, host=args.host, port=args.port,
+                            enhance_server=backend)
+    print(f"serving on http://{srv.host}:{srv.port} "
+          f"(POST /enhance, GET /healthz)", flush=True)
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.close()
+        backend.close()
+    return 0
+
+
+def cmd_video(args) -> int:
+    import glob
+    import os
+
+    from low_light_image_enhancement_tpu.io.codec import (
+        decode_image,
+        encode_image,
+    )
+    from low_light_image_enhancement_tpu.video import VideoEnhancer
+
+    frames = sorted(glob.glob(args.input_glob))
+    if not frames:
+        print(f"no frames match {args.input_glob!r}", file=sys.stderr)
+        return 1
+    os.makedirs(args.output_dir, exist_ok=True)
+    enh = VideoEnhancer(_build_config(args),
+                        model_params=_model_params(args),
+                        alpha=args.alpha)
+    for path in frames:
+        out = enh.process(decode_image(path))
+        encode_image(out, os.path.join(args.output_dir,
+                                       os.path.basename(path)))
+    print(f"wrote {len(frames)} frames to {args.output_dir} "
+          f"(carry {enh.carry_bytes} bytes)")
+    return 0
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     parser = argparse.ArgumentParser(
         prog="llie", description="TPU-native low-light image enhancement"
@@ -203,6 +260,42 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--save-weights", default=None,
                    help="write final params to this .npz")
     p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser(
+        "serve",
+        help="HTTP enhancement server (POST /enhance with JPEG/PNG bytes; "
+             "micro-batching dispatcher owns the device)",
+    )
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000,
+                   help="0 binds an ephemeral port (printed at startup)")
+    p.add_argument("--max-batch", type=int, default=32)
+    p.add_argument("--max-delay-ms", type=float, default=5.0)
+    p.add_argument("--max-queue", type=int, default=256,
+                   help="bound on in-flight requests")
+    p.add_argument("--overflow", choices=["block", "reject"],
+                   default="reject",
+                   help="full-server policy: HTTP 503 (reject) or "
+                        "producer backpressure (block)")
+    p.add_argument("--bucket", type=int, default=64,
+                   help="shape-bucket granularity (bounds compile count)")
+    _add_config_args(p)
+    p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser(
+        "video",
+        help="enhance an ordered frame sequence with the temporally-"
+             "stable video path (EMA-smoothed illumination / curve maps)",
+    )
+    p.add_argument("input_glob",
+                   help="glob over input frames, e.g. 'frames/*.png'; "
+                        "processed in sorted order")
+    p.add_argument("output_dir")
+    p.add_argument("--alpha", type=float, default=0.3,
+                   help="new-frame weight of the temporal EMA "
+                        "(1.0 = no smoothing)")
+    _add_config_args(p)
+    p.set_defaults(fn=cmd_video)
 
     args = parser.parse_args(argv)
     return args.fn(args)

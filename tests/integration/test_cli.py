@@ -114,3 +114,27 @@ def test_cli_train_all_models_and_objectives(tmp_path):
         params = load_params(out)
         leaf = next(iter(params.values()))["w"]
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_cli_video_frames(tmp_path, capsys):
+    """`llie video 'frames/*.png' outdir` enhances an ordered sequence
+    through the temporally-stable path."""
+    frames = tmp_path / "frames"
+    frames.mkdir()
+    for i in range(3):
+        low, _ = synth_pair(i, 32, 48)
+        encode_image(low, frames / f"f{i:03d}.png")
+    outdir = tmp_path / "out"
+    assert main(["video", str(frames / "*.png"), str(outdir),
+                 "--method", "retinex", "--alpha", "0.5"]) == 0
+    outs = sorted(outdir.glob("*.png"))
+    assert len(outs) == 3
+    first_in = decode_image(frames / "f000.png")
+    first_out = decode_image(outs[0])
+    assert first_out.shape == first_in.shape
+    assert first_out.astype(float).mean() > first_in.astype(float).mean()
+
+
+def test_cli_video_no_match_is_an_error(tmp_path):
+    assert main(["video", str(tmp_path / "none*.png"),
+                 str(tmp_path / "o")]) == 1
