@@ -32,9 +32,14 @@ def test_dryrun_multichip_8():
 
 
 def test_entry_compiles_single_chip():
+    # Pin the platform via jax.config (conftest-style): the sitecustomize's
+    # TPU plugin overrides the JAX_PLATFORMS env var, and with the tunnel
+    # down backend init hangs — the test must compile-check entry() on CPU
+    # regardless of chip reachability (the driver checks the chip itself).
     out = _run(
         """
         import jax
+        jax.config.update("jax_platforms", "cpu")
         import __graft_entry__ as g
         fn, args = g.entry()
         res = jax.jit(fn)(*args)
