@@ -56,6 +56,9 @@ class _Handler(BaseHTTPRequestHandler):
     # set by serve(): the shared EnhanceServer
     enhance_server: EnhanceServer = None
     protocol_version = "HTTP/1.1"
+    # without TCP_NODELAY, Nagle + delayed ACK stalls small request/response
+    # pairs ~40 ms each (measured: p50 48 ms -> single-digit ms on loopback)
+    disable_nagle_algorithm = True
 
     def log_message(self, *a):  # quiet by default; stats belong in JSONL
         pass

@@ -104,6 +104,71 @@ def run_scenario(name, shapes_fn, n_requests=2000, n_threads=8,
     )
 
 
+def run_http_scenario(name, n_requests=2000, n_threads=8, shape=(40, 60)):
+    """Same warm single-shape workload through the HTTP front-end
+    (http_server.py): the delta vs the 'warm' scenario isolates the
+    socket + HTTP parse + PNG decode/encode cost per request."""
+    import http.client
+
+    from low_light_image_enhancement_tpu.http_server import HttpEnhanceServer
+    from low_light_image_enhancement_tpu.io.codec import encode_image
+
+    pipe = _InstantPipe()
+    backend = EnhanceServer(pipeline=pipe, max_delay_ms=2.0,
+                            max_batch=32, max_queue=128)
+    srv = HttpEnhanceServer(host="127.0.0.1", port=0,
+                            enhance_server=backend).start()
+    body = encode_image(np.zeros((*shape, 3), np.uint8), format="PNG")
+    latencies = []
+    lat_lock = threading.Lock()
+    idx = {"v": 0}
+
+    def worker():
+        conn = http.client.HTTPConnection("127.0.0.1", srv.port, timeout=120)
+        try:
+            while True:
+                with lat_lock:
+                    if idx["v"] >= n_requests:
+                        return
+                    idx["v"] += 1
+                t0 = time.monotonic()
+                conn.request("POST", "/enhance", body=body,
+                             headers={"Content-Length": str(len(body))})
+                r = conn.getresponse()
+                r.read()
+                assert r.status == 200, r.status
+                dt = time.monotonic() - t0
+                with lat_lock:
+                    latencies.append(dt)
+        finally:
+            conn.close()
+
+    # warm the program + a first HTTP round trip outside the timed window
+    c = http.client.HTTPConnection("127.0.0.1", srv.port, timeout=120)
+    c.request("POST", "/enhance", body=body,
+              headers={"Content-Length": str(len(body))})
+    c.getresponse().read()
+    c.close()
+
+    t0 = time.monotonic()
+    threads = [threading.Thread(target=worker) for _ in range(n_threads)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.monotonic() - t0
+    srv.close()
+    backend.close()
+    lat = np.sort(np.array(latencies))
+    print(
+        f"{name:10s} {n_requests / wall:9.0f} req/s  "
+        f"p50 {lat[len(lat) // 2] * 1e3:6.2f} ms  "
+        f"p99 {lat[int(len(lat) * 0.99)] * 1e3:6.2f} ms  "
+        f"dispatches {pipe.dispatches} "
+        f"({n_requests / max(1, pipe.dispatches):.1f} req/dispatch)"
+    )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--requests", type=int, default=2000)
@@ -127,6 +192,9 @@ def main():
     run_scenario("warm+1ms", lambda i: (40, 60),
                  n_requests=args.requests, n_threads=args.threads,
                  dispatch_s=0.001)
+    # same warm workload through the HTTP front-end (llie serve)
+    run_http_scenario("http", n_requests=args.requests,
+                      n_threads=args.threads)
 
 
 if __name__ == "__main__":
