@@ -15,6 +15,8 @@ Endpoints:
     400 on undecodable bodies, 503 when the server is saturated
     (``overflow='reject'``).
   * ``GET /healthz`` — liveness: 200 ``ok`` while the dispatcher runs.
+  * ``GET /stats`` — JSON: request counts by status + p50/p99 enhance
+    latency over a bounded ring of recent requests.
 
 Spec: BASELINE.json north_star public-API clause ("enhance(image) ->
 image") lifted to a network boundary; the batching semantics live in
@@ -24,7 +26,10 @@ dispatcher, isolated").
 
 from __future__ import annotations
 
+import collections
+import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
@@ -52,18 +57,53 @@ def _sniff(body: bytes):
     return None
 
 
+class _Stats:
+    """Lock-guarded request counters + a bounded latency ring (last 4096
+    enhance latencies) for the /stats endpoint."""
+
+    def __init__(self, maxlen: int = 4096):
+        self._lock = threading.Lock()
+        self.by_status: dict = {}
+        self._lat = collections.deque(maxlen=maxlen)
+
+    def record(self, status: int, latency_s: Optional[float] = None) -> None:
+        with self._lock:
+            self.by_status[status] = self.by_status.get(status, 0) + 1
+            if latency_s is not None:
+                self._lat.append(latency_s)
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            lat = sorted(self._lat)
+            counts = dict(self.by_status)
+        out = {"requests_by_status": counts,
+               "requests_total": sum(counts.values())}
+        if lat:
+            out["enhance_latency_ms"] = {
+                "p50": round(lat[len(lat) // 2] * 1e3, 3),
+                "p99": round(lat[min(len(lat) - 1,
+                                     int(len(lat) * 0.99))] * 1e3, 3),
+                "window": len(lat),
+            }
+        return out
+
+
 class _Handler(BaseHTTPRequestHandler):
-    # set by serve(): the shared EnhanceServer
+    # set by serve(): the shared EnhanceServer + stats sink
     enhance_server: EnhanceServer = None
+    stats: _Stats = None
     protocol_version = "HTTP/1.1"
     # without TCP_NODELAY, Nagle + delayed ACK stalls small request/response
     # pairs ~40 ms each (measured: p50 48 ms -> single-digit ms on loopback)
     disable_nagle_algorithm = True
 
-    def log_message(self, *a):  # quiet by default; stats belong in JSONL
+    def log_message(self, *a):  # quiet by default; stats carry the signal
         pass
 
-    def _respond(self, code: int, body: bytes, ctype: str) -> None:
+    def _respond(self, code: int, body: bytes, ctype: str,
+                 latency_s: Optional[float] = None) -> None:
+        if self.stats is not None:
+            self.stats.record(code, latency_s)
         self.send_response(code)
         self.send_header("Content-Type", ctype)
         self.send_header("Content-Length", str(len(body)))
@@ -73,6 +113,9 @@ class _Handler(BaseHTTPRequestHandler):
     def do_GET(self):  # noqa: N802 - http.server API
         if self.path == "/healthz":
             self._respond(200, b"ok", "text/plain")
+        elif self.path == "/stats":
+            body = json.dumps(self.stats.snapshot()).encode()
+            self._respond(200, body, "application/json")
         else:
             self._respond(404, b"not found", "text/plain")
 
@@ -103,12 +146,14 @@ class _Handler(BaseHTTPRequestHandler):
         except Exception:  # noqa: BLE001 - any decode failure is a 400
             self._respond(400, b"undecodable image", "text/plain")
             return
+        t0 = time.monotonic()
         try:
             out = self.enhance_server.enhance(img)
         except ServerSaturated:
             self._respond(503, b"server saturated", "text/plain")
             return
-        self._respond(200, encode_image(out, format=fmt[0]), fmt[1])
+        self._respond(200, encode_image(out, format=fmt[0]), fmt[1],
+                      latency_s=time.monotonic() - t0)
 
 
 class HttpEnhanceServer:
@@ -127,8 +172,10 @@ class HttpEnhanceServer:
         self.backend = enhance_server or EnhanceServer(
             config, **server_kwargs
         )
+        self.stats = _Stats()
         handler = type("Handler", (_Handler,),
-                       {"enhance_server": self.backend})
+                       {"enhance_server": self.backend,
+                        "stats": self.stats})
         self._httpd = ThreadingHTTPServer((host, port), handler)
         self.host, self.port = self._httpd.server_address[:2]
         self._thread: Optional[threading.Thread] = None

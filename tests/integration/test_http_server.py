@@ -56,6 +56,17 @@ def test_http_roundtrip_and_errors():
         # unknown path -> 404
         status, _, _ = _post(srv.port, b"x", path="/nope")
         assert status == 404
+
+        # stats reflect the traffic above
+        import json
+
+        conn = http.client.HTTPConnection("127.0.0.1", srv.port, timeout=60)
+        conn.request("GET", "/stats")
+        stats = json.loads(conn.getresponse().read())
+        conn.close()
+        assert stats["requests_by_status"]["200"] >= 3  # healthz + 2 enhances
+        assert stats["requests_by_status"]["400"] >= 1
+        assert stats["enhance_latency_ms"]["p50"] > 0
     finally:
         srv.close()
 
