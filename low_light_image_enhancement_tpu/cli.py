@@ -41,6 +41,8 @@ def _add_config_args(p: argparse.ArgumentParser) -> None:
                             "packed12"],
                    default=None,
                    help="learned-model conv lowering (auto: packed on TPU)")
+    p.add_argument("--data-shards", type=int, default=None,
+                   help="shard batches over N devices (DP inference/serving)")
     p.add_argument("--no-pallas", action="store_true",
                    help="force the pure-jnp reference path")
     p.add_argument("--weights", default=None,
@@ -59,7 +61,7 @@ def _build_config(args) -> PipelineConfig:
     if getattr(args, "denoise_strength", None) is not None:
         over["denoise_strength"] = args.denoise_strength
     for name in ("decom_gamma", "denoise_taps", "denoise_guide",
-                 "curve_downsample", "conv_impl"):
+                 "curve_downsample", "conv_impl", "data_shards"):
         v = getattr(args, name, None)
         if v is not None:
             over[name] = v

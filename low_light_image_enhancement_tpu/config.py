@@ -120,6 +120,11 @@ class PipelineConfig:
 
     # --- sharding (config 5) -------------------------------------------------
     spatial_shards: int = 1      # >1: shard H across `spatial` mesh axis
+    data_shards: int = 1         # >1: shard batch across `data` mesh axis
+                                 # (DP inference/serving; the batch-sharded
+                                 # program compiles with no collectives —
+                                 # tests/parallel/test_dp_scaling.py — so n
+                                 # chips run it at ~n x throughput)
 
     def __post_init__(self):
         if self.method not in _METHODS:
@@ -169,6 +174,18 @@ class PipelineConfig:
                 "curve_downsample must be 1, 2, 4 or 8 (the integer-factor "
                 "bilinear upsample of record and the sharded/striped phase "
                 "alignment need a small even factor)"
+            )
+        if self.spatial_shards < 1 or self.data_shards < 1:
+            raise ValueError(
+                "spatial_shards and data_shards must be >= 1: "
+                f"{self.spatial_shards}, {self.data_shards}"
+            )
+        if self.spatial_shards > 1 and self.data_shards > 1:
+            raise ValueError(
+                "combined data+spatial sharding is driven via "
+                "parallel.make_mesh(n_data, n_spatial) + "
+                "enhance_spatial_sharded, not PipelineConfig; set only one "
+                "of spatial_shards / data_shards here"
             )
 
     def replace(self, **kw) -> "PipelineConfig":

@@ -239,7 +239,34 @@ class EnhancePipeline:
             )
         if self.config.spatial_shards > 1:
             return self._sharded(b, h, w)(imgs_u8)
+        if self.config.data_shards > 1:
+            n = min(self.config.data_shards, len(jax.devices()))
+            if b % n:
+                raise ValueError(
+                    f"batch {b} not divisible by data_shards={n}; "
+                    "enhance_batch pads the batch for you"
+                )
+            imgs_u8 = jax.device_put(imgs_u8, self._data_sharding(n))
         return self._compiled(b, h, w)(imgs_u8, self.model_params)
+
+    def _data_sharding(self, n: int):
+        """NamedSharding splitting the batch dim over an n-device 'data'
+        mesh. The batch-sharded program is collective-free (structurally
+        asserted in tests/parallel/test_dp_scaling.py), so n chips run the
+        identical per-device program concurrently — DP serving is input
+        placement, not a new graph."""
+        key = ("data_sharding", n)
+        sh = self._cache.get(key)
+        if sh is None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            from low_light_image_enhancement_tpu.parallel.sharding import (
+                make_mesh,
+            )
+
+            mesh = make_mesh(n_data=n, n_spatial=1)
+            sh = NamedSharding(mesh, PartitionSpec("data"))
+            self._cache[key] = sh
+        return sh
 
     def _sharded(self, b: int, h: int, w: int):
         """Spatially-sharded execution (config 5): rows split over a
@@ -286,6 +313,16 @@ class EnhancePipeline:
     def enhance_batch(self, imgs_u8) -> np.ndarray:
         """(B, H, W, 3) u8 -> (B, H, W, 3) u8 enhanced (host numpy)."""
         imgs_u8 = np.asarray(imgs_u8)
+        n = self.config.data_shards
+        if n > 1:
+            n = min(n, len(jax.devices()))
+            b = imgs_u8.shape[0]
+            if b % n:
+                pad = n - b % n  # replicate the last image up to a multiple
+                padded = np.concatenate(
+                    [imgs_u8, np.repeat(imgs_u8[-1:], pad, axis=0)]
+                )
+                return self.enhance_batch(padded)[:b]  # now divisible
         if self.bucket:
             g = self.bucket
             _, h, w, _ = imgs_u8.shape

@@ -70,13 +70,19 @@ class EnhanceServer:
         self._max_batch = max_batch
         self._max_delay = max_delay_ms / 1000.0
         # geometric batch buckets bound compiles to O(log max_batch) programs
-        # per shape while wasting <4x padding compute in the worst case
+        # per shape while wasting <4x padding compute in the worst case.
+        # Under DP serving (config.data_shards > 1) every dispatched batch
+        # must divide over the data mesh, so buckets start at data_shards.
+        dshards = getattr(
+            getattr(self._pipe, "config", None), "data_shards", 1
+        )
+        top = -(-max_batch // dshards) * dshards  # round up to a multiple
         self._batch_buckets = []
-        b = 1
-        while b < max_batch:
+        b = max(1, dshards)
+        while b < top:
             self._batch_buckets.append(b)
             b *= 4
-        self._batch_buckets.append(max_batch)
+        self._batch_buckets.append(top)
         self._q: "queue.Queue" = queue.Queue()
         # request-capacity bound: acquired per submit, released when the
         # request's Future resolves (every path — result, error, close-drain

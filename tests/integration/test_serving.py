@@ -261,3 +261,26 @@ def test_server_bounded_queue_blocks_then_proceeds():
 def test_server_invalid_overflow_policy():
     with pytest.raises(ValueError, match="overflow"):
         EnhanceServer(max_queue=4, overflow="drop")
+
+
+def test_server_dp_sharded_pipeline():
+    """DP serving: a data_shards pipeline behind the dispatcher produces
+    the same bytes as the unsharded server, and every dispatched batch
+    bucket divides over the data mesh (buckets start at data_shards)."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        import pytest
+
+        pytest.skip("needs >= 4 devices (conftest provides 8 fake CPUs)")
+    from low_light_image_enhancement_tpu.config import PipelineConfig
+
+    cfg = PipelineConfig(data_shards=4)
+    lows = [synth_pair(i, 32, 48)[0] for i in range(6)]
+    with EnhanceServer(cfg, max_delay_ms=10.0, max_batch=16) as srv:
+        assert all(b % 4 == 0 for b in srv._batch_buckets), srv._batch_buckets
+        futs = [srv.submit(im) for im in lows]
+        outs = [f.result(timeout=300) for f in futs]
+    ref = EnhancePipeline(bucket=64)
+    for im, out in zip(lows, outs):
+        np.testing.assert_array_equal(out, ref.enhance(im))

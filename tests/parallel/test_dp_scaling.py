@@ -93,3 +93,40 @@ def test_spatially_sharded_training_matches_unsharded():
                     jax.tree_util.tree_leaves(p_sp)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_pipeline_data_shards_parity_and_padding():
+    """config.data_shards routes EnhancePipeline through the batch-sharded
+    placement: bit-identical output vs unsharded, batch sharded over the
+    data mesh, non-divisible batches padded + cropped at the host API."""
+    from low_light_image_enhancement_tpu.pipeline import EnhancePipeline
+
+    imgs = synth_batch(6, 40, 64)[0]  # 6 images; 6 % 4 != 0
+    base = EnhancePipeline(PipelineConfig())
+    dp = EnhancePipeline(PipelineConfig(data_shards=4))
+
+    # device-level: divisible batch is accepted and sharded
+    out_dev = dp.enhance_batch_device(jnp.asarray(imgs[:4]))
+    shardings = {d.device for d in out_dev.addressable_shards}
+    assert len(shardings) == 4
+    np.testing.assert_array_equal(
+        np.asarray(out_dev), base.enhance_batch(imgs[:4])
+    )
+    import pytest
+
+    with pytest.raises(ValueError):
+        dp.enhance_batch_device(jnp.asarray(imgs))  # 6 % 4
+
+    # host-level: padding + crop hides divisibility
+    np.testing.assert_array_equal(
+        dp.enhance_batch(imgs), base.enhance_batch(imgs)
+    )
+
+
+def test_config_rejects_combined_pipeline_sharding():
+    import pytest
+
+    with pytest.raises(ValueError):
+        PipelineConfig(spatial_shards=2, data_shards=2)
+    with pytest.raises(ValueError):
+        PipelineConfig(data_shards=0)
