@@ -94,9 +94,38 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch", type=int, default=48)
     parser.add_argument("--repeats", type=int, default=7)
+    parser.add_argument(
+        "--watchdog", type=float, default=1200.0,
+        help="seconds before an unresponsive backend (e.g. a dead TPU "
+             "tunnel, which hangs at device init) aborts with an error "
+             "JSON line instead of hanging the caller forever",
+    )
     args = parser.parse_args()
 
+    if args.watchdog > 0:
+        import os
+        import threading
+
+        done = threading.Event()
+
+        def _abort():
+            if done.wait(args.watchdog):
+                return
+            print(json.dumps({
+                "metric": "images_per_sec_per_chip_600x400",
+                "value": 0.0,
+                "unit": "images/sec/chip",
+                "vs_baseline": 0.0,
+                "error": f"watchdog: backend unresponsive for "
+                         f"{args.watchdog:.0f}s (TPU tunnel down?)",
+            }), flush=True)
+            os._exit(2)
+
+        threading.Thread(target=_abort, daemon=True).start()
+
     res = bench_throughput(batch=args.batch, repeats=args.repeats)
+    if args.watchdog > 0:
+        done.set()
     value = res["images_per_sec"]
     print(
         json.dumps(
