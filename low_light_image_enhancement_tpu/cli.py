@@ -178,7 +178,16 @@ def cmd_serve(args) -> int:
     srv = HttpEnhanceServer(cfg, host=args.host, port=args.port,
                             enhance_server=backend)
     print(f"serving on http://{srv.host}:{srv.port} "
-          f"(POST /enhance, GET /healthz)", flush=True)
+          f"(POST /enhance, GET /healthz, GET /stats)", flush=True)
+
+    # SIGTERM (the normal orchestrator stop signal) drains like Ctrl-C:
+    # stop accepting, finish in-flight requests, then exit 0
+    import signal
+
+    def _term(_sig, _frm):
+        raise KeyboardInterrupt
+
+    signal.signal(signal.SIGTERM, _term)
     try:
         srv.serve_forever()
     except KeyboardInterrupt:

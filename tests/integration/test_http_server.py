@@ -112,3 +112,37 @@ def test_http_saturation_maps_to_503():
     assert statuses and set(statuses) <= {200, 503}
     assert 503 in statuses, statuses  # capacity 1 + 6 bursts must shed load
     assert 200 in statuses, statuses  # but not shed everything
+
+
+def test_cli_serve_sigterm_drains(tmp_path):
+    """`llie serve` exits 0 on SIGTERM after serving traffic (the normal
+    orchestrator stop path)."""
+    import os
+    import re
+    import signal
+    import subprocess
+    import sys
+    import textwrap
+
+    env = dict(os.environ)
+    code = textwrap.dedent("""
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        from low_light_image_enhancement_tpu.cli import main
+        raise SystemExit(main(["serve", "--port", "0"]))
+    """)
+    proc = subprocess.Popen(
+        [sys.executable, "-c", code], env=env, cwd="/root/repo",
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+    )
+    try:
+        line = proc.stdout.readline()
+        port = int(re.search(r":(\d+) ", line).group(1))
+        low, _ = synth_pair(0, 32, 48)
+        status, _, _ = _post(port, encode_image(low, format="PNG"))
+        assert status == 200
+        proc.send_signal(signal.SIGTERM)
+        assert proc.wait(timeout=120) == 0
+    finally:
+        if proc.poll() is None:
+            proc.kill()
