@@ -30,6 +30,11 @@ from low_light_image_enhancement_tpu.ops.retinex import (
 )
 from low_light_image_enhancement_tpu.ops.gamma import gamma_correct
 from low_light_image_enhancement_tpu.ops.denoise import bilateral_denoise
+from low_light_image_enhancement_tpu.ops.guided import (
+    box_mean,
+    guided_denoise,
+    guided_filter,
+)
 from low_light_image_enhancement_tpu.ops.curves import apply_curves
 from low_light_image_enhancement_tpu.ops.isp import (
     demosaic_bilinear_rggb,
@@ -64,6 +69,9 @@ __all__ = [
     "retinex_enhance",
     "gamma_correct",
     "bilateral_denoise",
+    "box_mean",
+    "guided_denoise",
+    "guided_filter",
     "apply_curves",
     "demosaic_bilinear_rggb",
     "white_balance",
