@@ -140,6 +140,17 @@ def cmd_train(args) -> int:
 
     kw = dict(checkpoint_dir=args.checkpoint_dir, resume=args.resume,
               log_fn=log_fn)
+    if args.data_dir is not None:
+        # real (or fallback-synthetic) LOL pairs instead of the on-device
+        # synthetic stream; zeroref consumes lows only
+        from low_light_image_enhancement_tpu.data.lol import LOLDataset
+
+        ds = LOLDataset(root=args.data_dir, split="train")
+        paired = not (args.model in ("curve", "hybrid")
+                      and args.objective == "zeroref")
+        kw["data_iter"] = ds.train_batches(
+            args.batch, args.crop, paired=paired
+        )
     if args.model in ("curve", "hybrid"):
         # --objective paired + --model hybrid is the exact recipe the
         # shipped curve_cnn.npz / curve_hybrid.npz weights were trained
@@ -267,6 +278,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--data-dir", default=None,
+                   help="train on LOL pairs from this root (our485 layout; "
+                        "random crop + flip augmentation) instead of the "
+                        "on-device synthetic stream")
     p.add_argument("--log-file", default=None)
     p.add_argument("--save-weights", default=None,
                    help="write final params to this .npz")

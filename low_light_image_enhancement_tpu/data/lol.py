@@ -79,6 +79,58 @@ class LOLDataset:
         for i in range(len(self)):
             yield self[i]
 
+    def train_batches(
+        self,
+        batch_size: int,
+        crop: int,
+        seed: int = 0,
+        start_step: int = 0,
+        augment: bool = True,
+        paired: bool = True,
+    ) -> Iterator:
+        """Infinite iterator of training batches from this dataset:
+        random sample-with-replacement, shared random crop per pair,
+        optional flip augmentation; yields planar f32 — ``(low, high)``
+        ``(B, 3, crop, crop)`` pairs, or just ``low`` when
+        ``paired=False`` (the zero-reference objective). Per-step seeded
+        (``(seed, step)``) so a resumed run at ``start_step`` sees the
+        exact stream a straight-through run would — same contract as
+        train._synth_planar_pairs."""
+        step = start_step
+        while True:
+            r = np.random.default_rng((seed, step))
+            lows, highs = [], []
+            for i in r.integers(0, len(self), batch_size):
+                lo, hi, _ = self[int(i)]
+                h, w = lo.shape[:2]
+                if h < crop or w < crop:
+                    raise ValueError(
+                        f"crop {crop} exceeds image {h}x{w} in {self.split}"
+                    )
+                y = int(r.integers(0, h - crop + 1))
+                x = int(r.integers(0, w - crop + 1))
+                lo = lo[y:y + crop, x:x + crop]
+                hi = hi[y:y + crop, x:x + crop]
+                if augment:
+                    if r.integers(2):
+                        lo, hi = lo[:, ::-1], hi[:, ::-1]
+                    if r.integers(2):
+                        lo, hi = lo[::-1], hi[::-1]
+                lows.append(lo)
+                highs.append(hi)
+
+            def _planar(imgs):
+                x8 = np.ascontiguousarray(np.stack(imgs))
+                return np.transpose(
+                    x8.astype(np.float32) / 255.0, (0, 3, 1, 2)
+                )
+
+            if paired:
+                yield _planar(lows), _planar(highs)
+            else:
+                yield _planar(lows)
+            step += 1
+
     def as_batch(self, n: Optional[int] = None):
         """Stack the first ``n`` (default: all) pairs into (lows, highs)
         uint8 arrays — requires uniform image sizes (true for LOL/synth)."""

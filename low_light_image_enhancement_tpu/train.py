@@ -369,7 +369,17 @@ def train_curve_cnn(
         return illumination_boost(low, PipelineConfig())
 
     if data_iter is not None:
-        factory = lambda start: iter(data_iter)
+        # hybrid's boost applies to external data too: the curves adjust
+        # the boosted image at inference, so they must train on it
+        def _ext(start):
+            for item in data_iter:
+                if paired:
+                    low, high = item
+                    yield _boost(jnp.asarray(low)), jnp.asarray(high)
+                else:
+                    yield _boost(jnp.asarray(item))
+
+        factory = _ext
     elif paired:
         factory = lambda start: (
             (_boost(low), high)

@@ -138,3 +138,21 @@ def test_cli_video_frames(tmp_path, capsys):
 def test_cli_video_no_match_is_an_error(tmp_path):
     assert main(["video", str(tmp_path / "none*.png"),
                  str(tmp_path / "o")]) == 1
+
+
+def test_cli_train_data_dir(tmp_path):
+    """--data-dir trains from an on-disk LOL layout (synthetic files here)
+    end to end for a paired and a zeroref objective."""
+    root = tmp_path / "LOL"
+    for sub in ("low", "high"):
+        (root / "our485" / sub).mkdir(parents=True)
+    for i in range(3):
+        low, high = synth_pair(i, 48, 64)
+        encode_image(low, root / "our485" / "low" / f"{i}.png")
+        encode_image(high, root / "our485" / "high" / f"{i}.png")
+    for model, objective in (("fcn", "paired"), ("curve", "zeroref")):
+        assert main([
+            "train", "--model", model, "--objective", objective,
+            "--batch", "2", "--crop", "32", "--steps", "2",
+            "--data-dir", str(root),
+        ]) == 0

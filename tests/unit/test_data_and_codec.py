@@ -57,3 +57,25 @@ def test_codec_jpeg_lossy_close(tmp_path):
     data = encode_image(img, format="JPEG", quality=95)
     out = decode_image(data)
     assert np.abs(out.astype(int) - 128).max() < 6
+
+
+def test_lol_train_batches_stream():
+    """Dataset-backed training batches: shapes, range, paired/unpaired,
+    and per-step determinism (the resume contract: start_step=k yields
+    the same batch a straight run yields at step k)."""
+    from low_light_image_enhancement_tpu.data.lol import LOLDataset
+
+    ds = LOLDataset(split="eval15", size=(40, 64))
+    it = ds.train_batches(batch_size=2, crop=24, seed=7)
+    low, high = next(it)
+    assert low.shape == high.shape == (2, 3, 24, 24)
+    assert low.dtype == np.float32 and 0.0 <= low.min() <= low.max() <= 1.0
+    b1 = next(it)
+
+    resumed = ds.train_batches(batch_size=2, crop=24, seed=7, start_step=1)
+    r1 = next(resumed)
+    np.testing.assert_array_equal(b1[0], r1[0])
+    np.testing.assert_array_equal(b1[1], r1[1])
+
+    lows_only = next(ds.train_batches(batch_size=2, crop=24, paired=False))
+    assert lows_only.shape == (2, 3, 24, 24)
