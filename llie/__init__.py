@@ -18,12 +18,15 @@ from low_light_image_enhancement_tpu import (  # noqa: F401
     core,
     data,
     eval,
+    http_server,
     io,
     kernels,
     models,
     ops,
     parallel,
     pipeline,
+    serving,
     train,
     utils,
+    video,
 )
