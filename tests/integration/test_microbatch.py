@@ -27,7 +27,12 @@ def test_microbatch_matches_full_batch():
     micro = make_train_step(dataclasses.replace(_BASE, microbatch=2))
     p1, _, m1 = full(params, opt_state, batch)
     p2, _, m2 = micro(params, opt_state, batch)
-    assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-4
+    # relative tolerance: the swept zero-ref recipe (w_smooth=1600) puts
+    # the loss at ~70, where fp32 reassociation across microbatch partial
+    # sums is ~5e-6 relative (measured; the old 1e-4 ABSOLUTE bound only
+    # held at the pre-sweep loss magnitudes)
+    l1, l2 = float(m1["loss"]), float(m2["loss"])
+    assert abs(l1 - l2) < 1e-4 * max(1.0, abs(l1)), (l1, l2)
     np.testing.assert_allclose(
         np.asarray(p1["c1"]["w"]), np.asarray(p2["c1"]["w"]), atol=1e-5
     )
