@@ -142,14 +142,18 @@ def cmd_train(args) -> int:
               log_fn=log_fn)
     if args.data_dir is not None:
         # real (or fallback-synthetic) LOL pairs instead of the on-device
-        # synthetic stream; zeroref consumes lows only
+        # synthetic stream; zeroref consumes lows only. The prefetch queue
+        # decodes + device_puts ahead so host decode overlaps device steps.
         from low_light_image_enhancement_tpu.data.lol import LOLDataset
+        from low_light_image_enhancement_tpu.io.prefetch import PrefetchQueue
 
         ds = LOLDataset(root=args.data_dir, split="train")
         paired = not (args.model in ("curve", "hybrid")
                       and args.objective == "zeroref")
-        kw["data_iter"] = ds.train_batches(
-            args.batch, args.crop, paired=paired
+        plans = ds.train_batch_plans(args.batch, args.crop, paired=paired)
+        kw["data_iter"] = PrefetchQueue(
+            plans, depth=2, transform=ds.materialize_batch,
+            workers=args.decode_workers,
         )
     if args.model in ("curve", "hybrid"):
         # --objective paired + --model hybrid is the exact recipe the
@@ -280,8 +284,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--resume", action="store_true")
     p.add_argument("--data-dir", default=None,
                    help="train on LOL pairs from this root (our485 layout; "
-                        "random crop + flip augmentation) instead of the "
-                        "on-device synthetic stream")
+                        "random crop + flip augmentation, prefetch-"
+                        "overlapped) instead of the on-device synthetic "
+                        "stream")
+    p.add_argument("--decode-workers", type=int, default=1,
+                   help="decode thread pool size for --data-dir")
     p.add_argument("--log-file", default=None)
     p.add_argument("--save-weights", default=None,
                    help="write final params to this .npz")

@@ -79,6 +79,70 @@ class LOLDataset:
         for i in range(len(self)):
             yield self[i]
 
+    def train_batch_plans(
+        self,
+        batch_size: int,
+        crop: int,
+        seed: int = 0,
+        start_step: int = 0,
+        augment: bool = True,
+        paired: bool = True,
+    ) -> Iterator[dict]:
+        """Infinite iterator of pure-numpy batch PLANS (no decode): sample
+        indices, crop anchors as [0,1) fractions (mapped to offsets at
+        decode time, so the plan is image-dimension independent), flip
+        bits. Per-step seeded (``(seed, step)``) so a resumed run at
+        ``start_step`` sees the exact stream a straight-through run would —
+        same contract as train._synth_planar_pairs. Plans are cheap;
+        the decode cost lives in :meth:`materialize_batch`, which a
+        PrefetchQueue worker pool can parallelize."""
+        step = start_step
+        n = len(self)
+        while True:
+            r = np.random.default_rng((seed, step))
+            yield {
+                "idx": r.integers(0, n, batch_size),
+                "uv": r.random((batch_size, 2)),
+                "flips": (r.integers(0, 2, (batch_size, 2)) if augment
+                          else np.zeros((batch_size, 2), np.int64)),
+                "crop": crop,
+                "paired": paired,
+            }
+            step += 1
+
+    def materialize_batch(self, plan: dict):
+        """Decode + crop + flip + stack one plan into planar f32:
+        ``(low, high)`` ``(B, 3, crop, crop)`` pairs, or just ``low``
+        when the plan is unpaired (zero-reference objective)."""
+        crop = plan["crop"]
+        lows, highs = [], []
+        for i, (u, v), (fh, fv) in zip(plan["idx"], plan["uv"],
+                                       plan["flips"]):
+            lo, hi, _ = self[int(i)]
+            h, w = lo.shape[:2]
+            if h < crop or w < crop:
+                raise ValueError(
+                    f"crop {crop} exceeds image {h}x{w} in {self.split}"
+                )
+            y = int(u * (h - crop + 1))
+            x = int(v * (w - crop + 1))
+            lo = lo[y:y + crop, x:x + crop]
+            hi = hi[y:y + crop, x:x + crop]
+            if fh:
+                lo, hi = lo[:, ::-1], hi[:, ::-1]
+            if fv:
+                lo, hi = lo[::-1], hi[::-1]
+            lows.append(lo)
+            highs.append(hi)
+
+        def _planar(imgs):
+            x8 = np.ascontiguousarray(np.stack(imgs))
+            return np.transpose(x8.astype(np.float32) / 255.0, (0, 3, 1, 2))
+
+        if plan["paired"]:
+            return _planar(lows), _planar(highs)
+        return _planar(lows)
+
     def train_batches(
         self,
         batch_size: int,
@@ -88,48 +152,15 @@ class LOLDataset:
         augment: bool = True,
         paired: bool = True,
     ) -> Iterator:
-        """Infinite iterator of training batches from this dataset:
-        random sample-with-replacement, shared random crop per pair,
-        optional flip augmentation; yields planar f32 — ``(low, high)``
-        ``(B, 3, crop, crop)`` pairs, or just ``low`` when
-        ``paired=False`` (the zero-reference objective). Per-step seeded
-        (``(seed, step)``) so a resumed run at ``start_step`` sees the
-        exact stream a straight-through run would — same contract as
-        train._synth_planar_pairs."""
-        step = start_step
-        while True:
-            r = np.random.default_rng((seed, step))
-            lows, highs = [], []
-            for i in r.integers(0, len(self), batch_size):
-                lo, hi, _ = self[int(i)]
-                h, w = lo.shape[:2]
-                if h < crop or w < crop:
-                    raise ValueError(
-                        f"crop {crop} exceeds image {h}x{w} in {self.split}"
-                    )
-                y = int(r.integers(0, h - crop + 1))
-                x = int(r.integers(0, w - crop + 1))
-                lo = lo[y:y + crop, x:x + crop]
-                hi = hi[y:y + crop, x:x + crop]
-                if augment:
-                    if r.integers(2):
-                        lo, hi = lo[:, ::-1], hi[:, ::-1]
-                    if r.integers(2):
-                        lo, hi = lo[::-1], hi[::-1]
-                lows.append(lo)
-                highs.append(hi)
-
-            def _planar(imgs):
-                x8 = np.ascontiguousarray(np.stack(imgs))
-                return np.transpose(
-                    x8.astype(np.float32) / 255.0, (0, 3, 1, 2)
-                )
-
-            if paired:
-                yield _planar(lows), _planar(highs)
-            else:
-                yield _planar(lows)
-            step += 1
+        """Infinite iterator of training batches — the serial composition
+        of :meth:`train_batch_plans` and :meth:`materialize_batch` (a
+        worker pool composes the same two pieces through PrefetchQueue and
+        yields the identical stream)."""
+        return map(
+            self.materialize_batch,
+            self.train_batch_plans(batch_size, crop, seed, start_step,
+                                   augment, paired),
+        )
 
     def as_batch(self, n: Optional[int] = None):
         """Stack the first ``n`` (default: all) pairs into (lows, highs)

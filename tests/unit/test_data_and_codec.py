@@ -79,3 +79,18 @@ def test_lol_train_batches_stream():
 
     lows_only = next(ds.train_batches(batch_size=2, crop=24, paired=False))
     assert lows_only.shape == (2, 3, 24, 24)
+
+    # the worker-pool composition (plans -> materialize in a PrefetchQueue)
+    # yields the identical stream to the serial train_batches
+    from low_light_image_enhancement_tpu.io.prefetch import PrefetchQueue
+
+    serial = ds.train_batches(batch_size=2, crop=24, seed=7)
+    with PrefetchQueue(
+        ds.train_batch_plans(batch_size=2, crop=24, seed=7),
+        transform=ds.materialize_batch, workers=3, device_put=False,
+    ) as pooled:
+        for _ in range(3):
+            s_low, s_high = next(serial)
+            p_low, p_high = next(pooled)
+            np.testing.assert_array_equal(s_low, p_low)
+            np.testing.assert_array_equal(s_high, p_high)
