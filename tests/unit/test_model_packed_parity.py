@@ -59,7 +59,8 @@ def test_block_conv_layer_matches_reference_dilations():
 
 
 def test_block_conv_layer_matches_reference_half_packing():
-    """block=(1, 2) half-packing vs lax.conv at every model dilation."""
+    """blocks (1, 2) and (2, 1) (per-axis half-packing) vs lax.conv at
+    every model dilation."""
     from low_light_image_enhancement_tpu.models.layers import conv2d
     from low_light_image_enhancement_tpu.ops.patch_conv import depth_to_space
 
@@ -67,16 +68,20 @@ def test_block_conv_layer_matches_reference_half_packing():
     x = _img(key, (2, 40, 48, 8))
     w = jax.random.normal(jax.random.PRNGKey(11), (3, 3, 8, 8)) * 0.2
     b = jnp.zeros((8,))
-    xp = space_to_depth(x, (1, 2))
-    for dil in (1, 2, 4, 8, 16, 32):
-        want = np.asarray(conv2d(x, w, b, jnp.float32, dilation=dil))
-        got = conv2d_block_xla(
-            xp,
-            pack_block_conv_weights(w, dilation=dil, block=(1, 2)),
-            b, jnp.float32, step=(dil, max(1, dil // 2)),
-        )
-        got = np.asarray(depth_to_space(got, (1, 2)))
-        np.testing.assert_allclose(got, want, atol=3e-6, err_msg=f"dil={dil}")
+    for block in ((1, 2), (2, 1)):
+        bh, bw = block
+        xp = space_to_depth(x, block)
+        for dil in (1, 2, 4, 8, 16, 32):
+            want = np.asarray(conv2d(x, w, b, jnp.float32, dilation=dil))
+            got = conv2d_block_xla(
+                xp,
+                pack_block_conv_weights(w, dilation=dil, block=block),
+                b, jnp.float32,
+                step=(max(1, dil // bh), max(1, dil // bw)),
+            )
+            got = np.asarray(depth_to_space(got, block))
+            np.testing.assert_allclose(got, want, atol=3e-6,
+                                       err_msg=f"block={block} dil={dil}")
 
 
 def test_model_packed_half_block_matches_reference():
