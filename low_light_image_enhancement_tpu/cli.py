@@ -150,11 +150,19 @@ def cmd_train(args) -> int:
         ds = LOLDataset(root=args.data_dir, split="train")
         paired = not (args.model in ("curve", "hybrid")
                       and args.objective == "zeroref")
-        plans = ds.train_batch_plans(args.batch, args.crop, paired=paired)
-        kw["data_iter"] = PrefetchQueue(
-            plans, depth=2, transform=ds.materialize_batch,
-            workers=args.decode_workers,
-        )
+
+        def _data_factory(start_step, _ds=ds, _paired=paired):
+            # resume-aware: a checkpoint restore re-creates the stream at
+            # the restored step, replaying exactly what a straight run sees
+            plans = _ds.train_batch_plans(
+                args.batch, args.crop, paired=_paired, start_step=start_step
+            )
+            return PrefetchQueue(
+                plans, depth=2, transform=_ds.materialize_batch,
+                workers=args.decode_workers,
+            )
+
+        kw["data_factory"] = _data_factory
     if args.model in ("curve", "hybrid"):
         # --objective paired + --model hybrid is the exact recipe the
         # shipped curve_cnn.npz / curve_hybrid.npz weights were trained

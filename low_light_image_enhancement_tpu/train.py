@@ -342,6 +342,7 @@ def train_curve_cnn(
     seed: int = 0,
     objective: str = "zeroref",
     hybrid: bool = False,
+    data_factory: Optional[Callable] = None,
 ):
     """Config-3 training loop for the curve CNN.
 
@@ -353,7 +354,11 @@ def train_curve_cnn(
 
     ``data_iter`` yields (B, 3, H, W) f32 batches for zeroref, or
     (low, high) pairs for paired; defaults to the hardened synthetic
-    stream. Returns (params, metrics_history)."""
+    stream. ``data_factory(start_step) -> iterator`` is the resume-aware
+    form (a checkpoint restore re-creates the stream at the restored
+    step — LOLDataset.train_batch_plans supports this); it wins over
+    ``data_iter`` when both are given. Returns (params,
+    metrics_history)."""
     if objective not in ("zeroref", "paired"):
         raise ValueError(f"objective must be 'zeroref' or 'paired': "
                          f"{objective!r}")
@@ -368,11 +373,13 @@ def train_curve_cnn(
 
         return illumination_boost(low, PipelineConfig())
 
-    if data_iter is not None:
+    if data_factory is not None or data_iter is not None:
         # hybrid's boost applies to external data too: the curves adjust
         # the boosted image at inference, so they must train on it
         def _ext(start):
-            for item in data_iter:
+            src = (data_factory(start) if data_factory is not None
+                   else iter(data_iter))
+            for item in src:
                 if paired:
                     low, high = item
                     yield _boost(jnp.asarray(low)), jnp.asarray(high)
@@ -511,16 +518,19 @@ def train_fcn(
     resume: bool = False,
     log_fn: Optional[Callable[[Dict[str, float]], None]] = None,
     seed: int = 0,
+    data_factory: Optional[Callable] = None,
 ):
     """Supervised training loop for the FCN enhancer. ``data_iter`` yields
-    (low, high) planar f32 batch pairs; defaults to synthetic LOL-like pairs.
-    Returns (params, metrics_history)."""
+    (low, high) planar f32 batch pairs; ``data_factory(start_step)`` is the
+    resume-aware form (wins over data_iter); defaults to synthetic
+    LOL-like pairs. Returns (params, metrics_history)."""
     from low_light_image_enhancement_tpu.models.fcn import init_fcn
 
     params = init_fcn(jax.random.PRNGKey(seed), features=tcfg.features)
     opt_state = make_optimizer(tcfg).init(params)
     factory = (
-        (lambda start: iter(data_iter)) if data_iter is not None
+        data_factory if data_factory is not None
+        else (lambda start: iter(data_iter)) if data_iter is not None
         else (lambda start: _synth_planar_pairs(tcfg, seed, start))
     )
     return _run_training_loop(
@@ -537,17 +547,20 @@ def train_decom(
     resume: bool = False,
     log_fn: Optional[Callable[[Dict[str, float]], None]] = None,
     seed: int = 0,
+    data_factory: Optional[Callable] = None,
 ):
     """Decomposition-objective training loop for the RetinexNet-style
     DecomNet (the shipped decom.npz recipe). ``data_iter`` yields
-    (low, high) planar f32 pairs; defaults to the hardened synthetic
-    stream. Returns (params, metrics_history)."""
+    (low, high) planar f32 pairs; ``data_factory(start_step)`` is the
+    resume-aware form (wins over data_iter); defaults to the hardened
+    synthetic stream. Returns (params, metrics_history)."""
     from low_light_image_enhancement_tpu.models.decom import init_decom_net
 
     params = init_decom_net(jax.random.PRNGKey(seed))
     opt_state = make_optimizer(tcfg).init(params)
     factory = (
-        (lambda start: iter(data_iter)) if data_iter is not None
+        data_factory if data_factory is not None
+        else (lambda start: iter(data_iter)) if data_iter is not None
         else (lambda start: _synth_planar_pairs(tcfg, seed, start))
     )
     return _run_training_loop(

@@ -156,3 +156,20 @@ def test_cli_train_data_dir(tmp_path):
             "--batch", "2", "--crop", "32", "--steps", "2",
             "--data-dir", str(root),
         ]) == 0
+
+
+def test_cli_train_data_dir_resume_offsets_stream(tmp_path):
+    """--data-dir + --resume restarts the dataset stream at the restored
+    step (the resume-aware data_factory path)."""
+    root = tmp_path / "LOL"
+    for sub in ("low", "high"):
+        (root / "our485" / sub).mkdir(parents=True)
+    for i in range(2):
+        low, high = synth_pair(i, 48, 64)
+        encode_image(low, root / "our485" / "low" / f"{i}.png")
+        encode_image(high, root / "our485" / "high" / f"{i}.png")
+    ck = tmp_path / "ck"
+    common = ["train", "--model", "fcn", "--batch", "2", "--crop", "32",
+              "--data-dir", str(root), "--checkpoint-dir", str(ck)]
+    assert main(common + ["--steps", "1"]) == 0
+    assert main(common + ["--steps", "2", "--resume"]) == 0
