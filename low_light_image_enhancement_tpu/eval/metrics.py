@@ -71,3 +71,50 @@ def ssim_u8(a_u8: jnp.ndarray, b_u8: jnp.ndarray) -> jnp.ndarray:
     a = jnp.moveaxis(a_u8.astype(jnp.float32) / 255.0, -1, -3)
     b = jnp.moveaxis(b_u8.astype(jnp.float32) / 255.0, -1, -3)
     return ssim(a, b)
+
+
+# --------------------------------------------------------------- color -- #
+
+def _srgb_to_linear(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.where(x <= 0.04045, x / 12.92,
+                     ((x + 0.055) / 1.055) ** 2.4)
+
+
+def rgb_to_lab(rgb: jnp.ndarray) -> jnp.ndarray:
+    """sRGB [0,1] (..., 3, H, W) planar -> CIE L*a*b* (D65). Standard
+    sRGB->XYZ matrix + the cube-root transfer with its linear toe."""
+    lin = _srgb_to_linear(rgb.astype(jnp.float32))
+    r, g, b = lin[..., 0, :, :], lin[..., 1, :, :], lin[..., 2, :, :]
+    x = 0.4124564 * r + 0.3575761 * g + 0.1804375 * b
+    y = 0.2126729 * r + 0.7151522 * g + 0.0721750 * b
+    z = 0.0193339 * r + 0.1191920 * g + 0.9503041 * b
+    # normalize by D65 white point
+    xn, yn, zn = 0.95047, 1.0, 1.08883
+
+    def f(t):
+        d = 6.0 / 29.0
+        return jnp.where(t > d ** 3, jnp.cbrt(t),
+                         t / (3 * d * d) + 4.0 / 29.0)
+
+    fx, fy, fz = f(x / xn), f(y / yn), f(z / zn)
+    l_ = 116.0 * fy - 16.0
+    a_ = 500.0 * (fx - fy)
+    b_ = 200.0 * (fy - fz)
+    return jnp.stack([l_, a_, b_], axis=-3)
+
+
+def delta_e76(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Mean CIE76 color difference (Euclidean in Lab; ~2.3 is one JND)
+    between planar sRGB images. Per-image for batched inputs."""
+    d = rgb_to_lab(a) - rgb_to_lab(b)
+    de = jnp.sqrt(jnp.sum(d * d, axis=-3) + 1e-12)
+    if de.ndim > 2:
+        return jnp.mean(de, axis=tuple(range(1, de.ndim)))
+    return jnp.mean(de)
+
+
+def delta_e76_u8(a_u8: jnp.ndarray, b_u8: jnp.ndarray) -> jnp.ndarray:
+    """u8 (..., H, W, 3) channels-last -> mean CIE76 delta-E."""
+    a = jnp.moveaxis(a_u8.astype(jnp.float32) / 255.0, -1, -3)
+    b = jnp.moveaxis(b_u8.astype(jnp.float32) / 255.0, -1, -3)
+    return delta_e76(a, b)

@@ -18,7 +18,11 @@ from typing import Dict, Optional
 import numpy as np
 
 from low_light_image_enhancement_tpu.data.lol import LOLDataset
-from low_light_image_enhancement_tpu.eval.metrics import psnr_u8, ssim_u8
+from low_light_image_enhancement_tpu.eval.metrics import (
+    delta_e76_u8,
+    psnr_u8,
+    ssim_u8,
+)
 from low_light_image_enhancement_tpu.io.prefetch import PrefetchQueue
 from low_light_image_enhancement_tpu.pipeline import EnhancePipeline
 from low_light_image_enhancement_tpu.utils.logging import get_logger
@@ -64,6 +68,7 @@ def eval_lol(
             yield np.stack(lows), np.stack(highs)
 
     psnrs, ssims, ref_psnrs, parity_max = [], [], [], 0
+    delta_es = []
     skipped = 0
     ref_pipe = None
     if parity:
@@ -79,6 +84,7 @@ def eval_lol(
             continue
         psnrs.extend(np.asarray(psnr_u8(out, highs)).tolist())
         ssims.extend(np.asarray(ssim_u8(out, highs)).tolist())
+        delta_es.extend(np.asarray(delta_e76_u8(out, highs)).tolist())
         if ref_pipe is not None:
             # Same failure tolerance as the main path: a transient error on
             # the reference run skips parity for this batch, not the eval.
@@ -107,6 +113,7 @@ def eval_lol(
         "psnr_mean": float(psnrs_a.mean()),
         "psnr_std": float(psnrs_a.std()),
         "ssim_mean": float(np.mean(ssims)),
+        "delta_e76_mean": float(np.mean(delta_es)),
     }
     if parity and ref_psnrs:
         ref_mean = float(np.mean(ref_psnrs))
