@@ -126,7 +126,7 @@ def cmd_train(args) -> int:
 
     tcfg = TrainConfig(
         batch_size=args.batch, crop=args.crop, steps=args.steps,
-        learning_rate=args.lr,
+        learning_rate=args.lr, ema_decay=args.ema_decay,
     )
     if args.model == "fcn":
         tcfg = dataclasses.replace(tcfg, features=24)
@@ -297,6 +297,9 @@ def main(argv: Optional[List[str]] = None) -> int:
                         "stream")
     p.add_argument("--decode-workers", type=int, default=1,
                    help="decode thread pool size for --data-dir")
+    p.add_argument("--ema-decay", type=float, default=None,
+                   help="track an EMA of the weights (e.g. 0.999) and "
+                        "save/return the averaged weights")
     p.add_argument("--log-file", default=None)
     p.add_argument("--save-weights", default=None,
                    help="write final params to this .npz")

@@ -114,6 +114,11 @@ class TrainConfig:
     # None = no accumulation. (512x512 b64 on v5e needs microbatch <= 8:
     # 32-channel NHWC activations pad 4x on TPU lanes.)
     microbatch: Optional[int] = None
+    # Exponential moving average of the weights (decay per step; 0.999 is
+    # the usual scale). When set, the training loop tracks EMA params on
+    # device, checkpoints them alongside the raw params, and RETURNS the
+    # EMA params — the weights one ships/evaluates. None = off.
+    ema_decay: Optional[float] = None
 
 
 def zero_reference_loss(
@@ -279,6 +284,25 @@ def _run_training_loop(
     """Shared trainer: checkpoint restore -> data stream (offset to the
     restored step) -> step loop with logging + periodic/final checkpointing.
     ``data_factory(start_step)`` yields tuples of step-fn batch args."""
+    ema_params = None
+    ema_update = None
+    if tcfg.ema_decay is not None:
+        if not 0.0 < tcfg.ema_decay < 1.0:
+            raise ValueError(f"ema_decay must be in (0, 1): {tcfg.ema_decay}")
+        ema_params = params  # EMA starts at the init/restored weights
+        d = tcfg.ema_decay
+        ema_update = jax.jit(
+            lambda e, p: jax.tree_util.tree_map(
+                lambda a, b: d * a + (1.0 - d) * b, e, p
+            )
+        )
+
+    def _state(step):
+        s = {"params": params, "opt_state": opt_state, "step": step}
+        if ema_params is not None:
+            s["ema_params"] = ema_params
+        return s
+
     start_step = 0
     ckpt = None
     if checkpoint_dir is not None:
@@ -288,13 +312,13 @@ def _run_training_loop(
 
         ckpt = CheckpointManager(checkpoint_dir)
         if resume:
-            restored = ckpt.restore_latest(
-                {"params": params, "opt_state": opt_state, "step": 0}
-            )
+            restored = ckpt.restore_latest(_state(0))
             if restored is not None:
                 params = restored["params"]
                 opt_state = restored["opt_state"]
                 start_step = int(restored["step"])
+                if ema_params is not None:
+                    ema_params = restored["ema_params"]
 
     data_iter = data_factory(start_step)
     step_fn = make_step_fn(tcfg, mesh)
@@ -305,6 +329,8 @@ def _run_training_loop(
         if not isinstance(batch_args, tuple):
             batch_args = (batch_args,)
         params, opt_state, metrics = step_fn(params, opt_state, *batch_args)
+        if ema_params is not None:
+            ema_params = ema_update(ema_params, params)
         if (step_idx + 1) % tcfg.log_every == 0 or step_idx == start_step:
             m = {k: float(v) for k, v in metrics.items()}
             m["step"] = step_idx
@@ -316,20 +342,13 @@ def _run_training_loop(
             if log_fn is not None:
                 log_fn(m)
         if ckpt is not None and (step_idx + 1) % tcfg.checkpoint_every == 0:
-            ckpt.save(
-                {"params": params, "opt_state": opt_state,
-                 "step": step_idx + 1},
-                step=step_idx + 1,
-            )
+            ckpt.save(_state(step_idx + 1), step=step_idx + 1)
     if ckpt is not None:
         if tcfg.steps > start_step and ckpt.latest_step() != tcfg.steps:
-            ckpt.save(
-                {"params": params, "opt_state": opt_state,
-                 "step": tcfg.steps},
-                step=tcfg.steps,
-            )
+            ckpt.save(_state(tcfg.steps), step=tcfg.steps)
         ckpt.wait()
-    return params, history
+    # with EMA enabled the averaged weights are the shipping artifact
+    return (ema_params if ema_params is not None else params), history
 
 
 def train_curve_cnn(
