@@ -56,6 +56,25 @@ def main() -> None:
         means.append(ve.process(frame).mean())
     print("video: output means", [round(m, 1) for m in means], "(stable)")
 
+    # 5. HTTP serving: POST image bytes, get enhanced bytes back
+    import http.client
+
+    from low_light_image_enhancement_tpu.http_server import HttpEnhanceServer
+    from low_light_image_enhancement_tpu.io.codec import (
+        decode_image,
+        encode_image as enc,
+    )
+
+    hsrv = HttpEnhanceServer(port=0, max_delay_ms=2.0).start()
+    body = enc(low, format="PNG")
+    conn = http.client.HTTPConnection("127.0.0.1", hsrv.port, timeout=120)
+    conn.request("POST", "/enhance", body=body,
+                 headers={"Content-Length": str(len(body))})
+    resp = conn.getresponse()
+    print("http:", resp.status, decode_image(resp.read()).shape)
+    conn.close()
+    hsrv.close()
+
     print("wrote results to", outdir)
 
 
