@@ -9,6 +9,7 @@ fused Pallas path (TPU) and the pure-jnp reference path (any backend).
 from __future__ import annotations
 
 import functools
+import threading
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -147,6 +148,12 @@ class EnhancePipeline:
         )
         self._pallas_interpret = pallas_interpret and backend != "tpu"
         self._cache: Dict[Tuple[int, int, int], Any] = {}
+        # Guards cache fills under concurrent callers (e.g. HTTP worker
+        # threads sharing one pipeline): without it, two first-call threads
+        # build DISTINCT jit wrappers for the same shape and XLA compiles
+        # the program twice (jax caches per function object). Execution
+        # itself is thread-safe; this only dedups compiles.
+        self._cache_lock = threading.Lock()
 
     # ------------------------------------------------------------------ #
 
@@ -197,20 +204,24 @@ class EnhancePipeline:
                 retinex_plan_bytes_per_px,
             )
 
-            plan = plan_stripes(
-                h, w, MARGIN, self.config.stripe_rows,
-                bytes_per_px=retinex_plan_bytes_per_px(self.config),
-            )
-            fn = jax.jit(
-                functools.partial(
-                    _enhance_u8_batch,
-                    cfg=self.config,
-                    plan=plan,
-                    use_pallas=self._use_pallas,
-                    pallas_interpret=self._pallas_interpret,
+            with self._cache_lock:
+                fn = self._cache.get(key)
+                if fn is not None:
+                    return fn
+                plan = plan_stripes(
+                    h, w, MARGIN, self.config.stripe_rows,
+                    bytes_per_px=retinex_plan_bytes_per_px(self.config),
                 )
-            )
-            self._cache[key] = fn
+                fn = jax.jit(
+                    functools.partial(
+                        _enhance_u8_batch,
+                        cfg=self.config,
+                        plan=plan,
+                        use_pallas=self._use_pallas,
+                        pallas_interpret=self._pallas_interpret,
+                    )
+                )
+                self._cache[key] = fn
         return fn
 
     def warmup(self, shapes) -> None:
@@ -263,9 +274,12 @@ class EnhancePipeline:
                 make_mesh,
             )
 
-            mesh = make_mesh(n_data=n, n_spatial=1)
-            sh = NamedSharding(mesh, PartitionSpec("data"))
-            self._cache[key] = sh
+            with self._cache_lock:
+                sh = self._cache.get(key)
+                if sh is None:
+                    mesh = make_mesh(n_data=n, n_spatial=1)
+                    sh = NamedSharding(mesh, PartitionSpec("data"))
+                    self._cache[key] = sh
         return sh
 
     def _sharded(self, b: int, h: int, w: int):
@@ -274,7 +288,12 @@ class EnhancePipeline:
         kernel when Pallas is active."""
         key = ("sharded", b, h, w)
         fn = self._cache.get(key)
-        if fn is None:
+        if fn is not None:
+            return fn
+        with self._cache_lock:
+            fn = self._cache.get(key)
+            if fn is not None:
+                return fn
             from low_light_image_enhancement_tpu.parallel.sharding import (
                 enhance_spatial_sharded,
                 make_mesh,
