@@ -79,6 +79,12 @@ def bench_throughput(
         marginal = (t_long - t_short) / (n_long - n_short)
         if marginal > 0:
             rates.append(batch / marginal)
+        else:
+            # scheduling noise can make the long chain measure faster than
+            # the short one on a loaded host; the total-time rate is a
+            # positive (if pessimistic, sync cost included) fallback so one
+            # bad repeat can't leave rates empty -> NaN median
+            rates.append(batch * n_long / max(t_long, 1e-9))
     value = float(np.median(rates))
     return {
         "images_per_sec": value,

@@ -114,6 +114,12 @@ def single_block_halo(cfg: PipelineConfig) -> int:
 
 
 AUTO_PACKED_MAX_BATCH = 32  # exclusive: batch < 32 -> packed on TPU
+# When set (exclusive upper bound), batches in
+# [AUTO_PACKED_MAX_BATCH, AUTO_PACKED12_MAX_BATCH) route to the (1, 2)
+# half-packing — 2x lane fill at 2x structural FLOPs, between packed's
+# small-batch win and xla's large-batch win. None disables the band until
+# the on-chip crossover is measured (bench_conv --impls packed12).
+AUTO_PACKED12_MAX_BATCH: Optional[int] = None
 
 
 def resolve_conv_impl(
@@ -143,10 +149,14 @@ def resolve_conv_impl(
     choice bakes into each compiled graph."""
     if cfg.conv_impl == "auto":
         on_tpu = jax.default_backend() == "tpu"
-        small = batch is not None and batch < AUTO_PACKED_MAX_BATCH
-        return cfg.replace(
-            conv_impl="packed" if (on_tpu and small) else "xla"
-        )
+        impl = "xla"
+        if on_tpu and batch is not None:
+            if batch < AUTO_PACKED_MAX_BATCH:
+                impl = "packed"
+            elif (AUTO_PACKED12_MAX_BATCH is not None
+                  and batch < AUTO_PACKED12_MAX_BATCH):
+                impl = "packed12"
+        return cfg.replace(conv_impl=impl)
     if cfg.conv_impl == "pallas" and not (use_pallas or interpret):
         return cfg.replace(conv_impl="xla")
     return cfg

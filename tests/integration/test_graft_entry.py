@@ -13,9 +13,11 @@ def _run(code: str) -> str:
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
     env["PYTHONPATH"] = os.getcwd() + os.pathsep + env.get("PYTHONPATH", "")
+    # generous: the box has one core and the full suite may be loading it
+    # concurrently; 420s measured flaky under a second pytest process
     out = subprocess.run(
         [sys.executable, "-c", textwrap.dedent(code)],
-        capture_output=True, text=True, env=env, timeout=420,
+        capture_output=True, text=True, env=env, timeout=900,
     )
     assert out.returncode == 0, out.stdout + out.stderr
     return out.stdout
