@@ -110,7 +110,9 @@ def cmd_bench(args) -> int:
         _sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
         import bench as bench_mod
 
-    res = bench_mod.bench_throughput(batch=args.batch, repeats=args.repeats)
+    res = bench_mod.bench_throughput(batch=args.batch, repeats=args.repeats,
+                                     method=args.bench_method,
+                                     h=args.height, w=args.width)
     print(json.dumps(res))
     return 0
 
@@ -271,6 +273,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     p = sub.add_parser("bench", help="throughput benchmark")
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--repeats", type=int, default=5)
+    p.add_argument("--bench-method", default="retinex",
+                   choices=["retinex", "curve", "hybrid", "fcn", "decom"],
+                   help="pipeline method to benchmark")
+    p.add_argument("--height", type=int, default=400)
+    p.add_argument("--width", type=int, default=600)
     p.set_defaults(fn=cmd_bench)
 
     p = sub.add_parser(
