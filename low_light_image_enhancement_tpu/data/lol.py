@@ -75,6 +75,16 @@ class LOLDataset:
         low, high = synth_pair(i, h, w, seed=self._seed)
         return low, high, f"synth_{self.split}_{i:04d}"
 
+    def low(self, i: int) -> np.ndarray:
+        """Low image only — skips the high-image decode (the unpaired
+        zero-reference stream reads twice the bytes otherwise)."""
+        if self._files is not None:
+            from low_light_image_enhancement_tpu.io.codec import decode_image
+
+            return decode_image(self._files[i][0])
+        h, w = self.size
+        return synth_pair(i, h, w, seed=self._seed)[0]
+
     def pairs(self) -> Iterator[Tuple[np.ndarray, np.ndarray, str]]:
         for i in range(len(self)):
             yield self[i]
@@ -115,10 +125,14 @@ class LOLDataset:
         ``(low, high)`` ``(B, 3, crop, crop)`` pairs, or just ``low``
         when the plan is unpaired (zero-reference objective)."""
         crop = plan["crop"]
+        paired = plan["paired"]
         lows, highs = [], []
         for i, (u, v), (fh, fv) in zip(plan["idx"], plan["uv"],
                                        plan["flips"]):
-            lo, hi, _ = self[int(i)]
+            if paired:
+                lo, hi, _ = self[int(i)]
+            else:  # unpaired (zeroref): don't decode the high image at all
+                lo, hi = self.low(int(i)), None
             h, w = lo.shape[:2]
             if h < crop or w < crop:
                 raise ValueError(
@@ -127,19 +141,24 @@ class LOLDataset:
             y = int(u * (h - crop + 1))
             x = int(v * (w - crop + 1))
             lo = lo[y:y + crop, x:x + crop]
-            hi = hi[y:y + crop, x:x + crop]
             if fh:
-                lo, hi = lo[:, ::-1], hi[:, ::-1]
+                lo = lo[:, ::-1]
             if fv:
-                lo, hi = lo[::-1], hi[::-1]
+                lo = lo[::-1]
             lows.append(lo)
-            highs.append(hi)
+            if paired:
+                hi = hi[y:y + crop, x:x + crop]
+                if fh:
+                    hi = hi[:, ::-1]
+                if fv:
+                    hi = hi[::-1]
+                highs.append(hi)
 
         def _planar(imgs):
             x8 = np.ascontiguousarray(np.stack(imgs))
             return np.transpose(x8.astype(np.float32) / 255.0, (0, 3, 1, 2))
 
-        if plan["paired"]:
+        if paired:
             return _planar(lows), _planar(highs)
         return _planar(lows)
 

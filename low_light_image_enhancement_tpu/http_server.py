@@ -39,9 +39,6 @@ from low_light_image_enhancement_tpu.serving import (
     ServerSaturated,
 )
 
-_FORMATS = {b"\x89PNG": ("PNG", "image/png")}
-_JPEG_MAGIC = b"\xff\xd8"
-
 # request bodies above this are rejected before decode (a 16K x 16K RGB
 # PNG is ~1 GB decoded; the bound protects host RAM, not the device —
 # oversized *decoded* images still fail shape validation downstream)
@@ -52,7 +49,7 @@ def _sniff(body: bytes):
     """(PIL format name, content-type) from the container magic, or None."""
     if body[:4] == b"\x89PNG":
         return "PNG", "image/png"
-    if body[:2] == _JPEG_MAGIC:
+    if body[:2] == b"\xff\xd8":
         return "JPEG", "image/jpeg"
     return None
 
@@ -120,14 +117,18 @@ class _Handler(BaseHTTPRequestHandler):
             self._respond(404, b"not found", "text/plain")
 
     def do_POST(self):  # noqa: N802 - http.server API
-        if self.path != "/enhance":
-            self._respond(404, b"not found", "text/plain")
-            return
         try:
             n = int(self.headers.get("Content-Length", "0"))
         except ValueError:
             n = 0
+        if self.path != "/enhance":
+            # the unread body would desync this keep-alive connection:
+            # the next request line would parse from body bytes
+            self.close_connection = True
+            self._respond(404, b"not found", "text/plain")
+            return
         if n <= 0 or n > MAX_BODY_BYTES:
+            self.close_connection = True
             self._respond(400, b"Content-Length required (bounded)",
                           "text/plain")
             return
@@ -151,6 +152,13 @@ class _Handler(BaseHTTPRequestHandler):
             out = self.enhance_server.enhance(img)
         except ServerSaturated:
             self._respond(503, b"server saturated", "text/plain")
+            return
+        except Exception as e:  # noqa: BLE001 - any backend failure
+            # (close-drain during shutdown, compile error, shape rejection)
+            # must still produce an HTTP response and a stats record, not
+            # a TCP reset
+            self._respond(500, f"enhance failed: {e}".encode()[:512],
+                          "text/plain")
             return
         self._respond(200, encode_image(out, format=fmt[0]), fmt[1],
                       latency_s=time.monotonic() - t0)

@@ -312,13 +312,26 @@ def _run_training_loop(
 
         ckpt = CheckpointManager(checkpoint_dir)
         if resume:
-            restored = ckpt.restore_latest(_state(0))
+            # tolerate EMA-flag drift across runs: a pre-EMA checkpoint
+            # resumed with ema_decay set (EMA restarts at the restored
+            # params), or an EMA checkpoint resumed without the flag (the
+            # extra tree is ignored) — either template may mismatch the
+            # on-disk structure, so fall back to the other
+            try:
+                restored = ckpt.restore_latest(_state(0))
+            except Exception:
+                alt = dict(_state(0))
+                if "ema_params" in alt:
+                    alt.pop("ema_params")
+                else:
+                    alt["ema_params"] = params
+                restored = ckpt.restore_latest(alt)
             if restored is not None:
                 params = restored["params"]
                 opt_state = restored["opt_state"]
                 start_step = int(restored["step"])
                 if ema_params is not None:
-                    ema_params = restored["ema_params"]
+                    ema_params = restored.get("ema_params", params)
 
     data_iter = data_factory(start_step)
     step_fn = make_step_fn(tcfg, mesh)

@@ -146,3 +146,50 @@ def test_cli_serve_sigterm_drains(tmp_path):
     finally:
         if proc.poll() is None:
             proc.kill()
+
+
+def test_http_error_paths_keep_connection_usable():
+    """A 404/400 with an unread body must not desync the keep-alive
+    connection: the next request on the same socket still works (the
+    handler closes the connection instead of leaving body bytes)."""
+    low, _ = synth_pair(0, 32, 48)
+    png = encode_image(low, format="PNG")
+    srv = HttpEnhanceServer(host="127.0.0.1", port=0,
+                            max_delay_ms=1.0).start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", srv.port,
+                                          timeout=120)
+        conn.request("POST", "/nope", body=b"x" * 4096,
+                     headers={"Content-Length": "4096"})
+        r = conn.getresponse()
+        assert r.status == 404
+        r.read()
+        # server signalled close; reconnect and verify normal service
+        conn.close()
+        status, _, _ = _post(srv.port, png)
+        assert status == 200
+    finally:
+        srv.close()
+
+
+class _BoomPipe:
+    bucket = 64
+
+    def warmup(self, shapes):
+        pass
+
+    def enhance_batch_device(self, imgs):
+        raise RuntimeError("device exploded")
+
+
+def test_http_backend_failure_maps_to_500():
+    backend = EnhanceServer(pipeline=_BoomPipe(), max_delay_ms=1.0)
+    srv = HttpEnhanceServer(host="127.0.0.1", port=0,
+                            enhance_server=backend).start()
+    low, _ = synth_pair(0, 32, 48)
+    try:
+        status, body, _ = _post(srv.port, encode_image(low, format="PNG"))
+        assert status == 500 and b"enhance failed" in body
+    finally:
+        srv.close()
+        backend.close()

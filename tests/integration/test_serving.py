@@ -284,3 +284,19 @@ def test_server_dp_sharded_pipeline():
     ref = EnhancePipeline(bucket=64)
     for im, out in zip(lows, outs):
         np.testing.assert_array_equal(out, ref.enhance(im))
+
+
+def test_server_dp_buckets_clamped_to_device_count():
+    """data_shards beyond the device count clamps like the pipeline's
+    divisibility check does — buckets are multiples of the CLAMPED n."""
+    import jax
+
+    from low_light_image_enhancement_tpu.config import PipelineConfig
+
+    n_dev = len(jax.devices())
+    cfg = PipelineConfig(data_shards=2 * n_dev)
+    with EnhanceServer(cfg, max_delay_ms=5.0, max_batch=2 * n_dev) as srv:
+        assert all(b % n_dev == 0 for b in srv._batch_buckets), \
+            srv._batch_buckets
+        out = srv.enhance(synth_pair(0, 32, 48)[0])
+        assert out.dtype == np.uint8

@@ -1,3 +1,4 @@
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -120,3 +121,32 @@ def test_ema_weights_tracked_and_resumed(tmp_path):
     np.testing.assert_allclose(
         np.asarray(p3["c1"]["w"]), np.asarray(ema["c1"]["w"]), atol=1e-6
     )
+
+
+def test_ema_flag_drift_across_resume(tmp_path):
+    """Resuming a pre-EMA checkpoint with ema_decay set (and the reverse)
+    degrades gracefully instead of failing on the restore template."""
+    import dataclasses
+
+    from low_light_image_enhancement_tpu.train import TrainConfig, train_fcn
+
+    base = TrainConfig(features=8, batch_size=2, crop=32, steps=1,
+                       checkpoint_every=1)
+    ck1 = tmp_path / "ck1"
+    train_fcn(base, seed=1, checkpoint_dir=str(ck1))
+    p, _ = train_fcn(
+        dataclasses.replace(base, steps=2, ema_decay=0.9), seed=1,
+        checkpoint_dir=str(ck1), resume=True,
+    )
+    assert all(np.isfinite(np.asarray(t)).all()
+               for t in jax.tree_util.tree_leaves(p))
+
+    ck2 = tmp_path / "ck2"
+    train_fcn(dataclasses.replace(base, ema_decay=0.9), seed=1,
+              checkpoint_dir=str(ck2))
+    p2, _ = train_fcn(
+        dataclasses.replace(base, steps=2), seed=1,
+        checkpoint_dir=str(ck2), resume=True,
+    )
+    assert all(np.isfinite(np.asarray(t)).all()
+               for t in jax.tree_util.tree_leaves(p2))
