@@ -71,3 +71,23 @@ def test_fused_curve_f32_blocks():
     want = enhance_learned_block(xb, use_pallas=False, **args)
     assert got.dtype == jnp.float32
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+@pytest.mark.parametrize("impl", ["packed", "packed12"])
+def test_fused_tail_with_packed_cnn_impls(impl):
+    """The block-conv CNN impls compose with the fused tail (interpret
+    mode) — the combination a TPU user gets when the auto policy routes
+    small/mid batches to a packing. f32 conv compute pins the comparison
+    (same as the sharding tie-rate tests: under the bf16 default the
+    packing's contraction reorder flips ~20% of pixels by 1 u8 step,
+    which is fine visually but not a parity statement); remaining
+    divergence is isolated u8 rounding ties."""
+    lows, _ = synth_batch(2, 48, 80)
+    cfg = PipelineConfig(method="curve", conv_impl=impl,
+                         compute_dtype="float32")
+    ref = EnhancePipeline(cfg.replace(conv_impl="xla"), force_jnp=True)
+    fused = EnhancePipeline(cfg, pallas_interpret=True,
+                            model_params=ref.model_params)
+    got, want = fused.enhance_batch(lows), ref.enhance_batch(lows)
+    d = np.abs(got.astype(int) - want.astype(int))
+    assert d.max() <= 1 and (d > 0).mean() < 1e-3, (impl, d.max())
