@@ -136,9 +136,12 @@ def resolve_conv_impl(
     batch >= 32 or unknown -> 'xla' (XLA's conv lowering scales with batch
     and wins from ~batch 48 up: fcn 1667 vs ~850 at batch 128); off-TPU ->
     'xla' (packed's 4x structural FLOPs only pay off on the MXU).
-    Consequence of shape-aware auto: a TPU user may see isolated 1-ulp /
-    1-u8-step differences between small- and large-batch runs of the same
-    image; set conv_impl explicitly for bit-stable-across-batch output.
+    Consequence of shape-aware auto: small- and large-batch runs of the
+    same image may differ by up to 1 u8 step per pixel (the packing
+    reorders the conv contraction; at the bf16 compute default ~20% of
+    pixels flip by one step, at float32 only isolated rounding ties —
+    tests/kernels/test_fused_curve.py). Set conv_impl explicitly for
+    bit-stable-across-batch output.
 
     'pallas' degrades to 'xla' off-TPU (the kernels need a chip or
     interpret mode) — mirrors the tail-kernel gate. Backend check only —
