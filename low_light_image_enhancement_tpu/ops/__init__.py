@@ -49,6 +49,7 @@ from low_light_image_enhancement_tpu.ops.fourier import (
 )
 from low_light_image_enhancement_tpu.ops.contrast import (
     autocontrast,
+    clahe,
     equalize_hist,
 )
 
@@ -81,5 +82,6 @@ __all__ = [
     "fourier_amplitude_boost",
     "amplitude_phase_swap",
     "autocontrast",
+    "clahe",
     "equalize_hist",
 ]

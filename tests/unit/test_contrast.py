@@ -4,6 +4,7 @@ import jax.numpy as jnp
 
 from low_light_image_enhancement_tpu.ops.contrast import (
     autocontrast,
+    clahe,
     equalize_hist,
 )
 
@@ -41,3 +42,47 @@ def test_equalize_hist_jittable_and_batched():
     x = jnp.asarray(np.random.default_rng(2).random((2, 3, 16, 16), np.float32))
     y = jax.jit(equalize_hist)(x)
     assert y.shape == x.shape
+
+
+def test_clahe_tiles1_matches_global_equalization_at_high_clip():
+    """tiles=1 with an effectively-unbounded clip limit degenerates to
+    plain histogram equalization."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((24, 32)) * 0.5, jnp.float32)
+    got = clahe(x, tiles=1, clip_limit=1e9)
+    want = equalize_hist(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5)
+
+
+def test_clahe_improves_local_contrast_and_stays_bounded():
+    """A dark low-contrast region gains more contrast under CLAHE than
+    under the global equalization that is dominated by the bright half."""
+    rng = np.random.default_rng(1)
+    dark = 0.1 + 0.02 * rng.random((32, 16))
+    bright = 0.7 + 0.25 * rng.random((32, 16))
+    x = jnp.asarray(np.concatenate([dark, bright], axis=1), jnp.float32)
+    out = np.asarray(clahe(x, tiles=4, clip_limit=4.0))
+    assert 0.0 <= out.min() and out.max() <= 1.0 + 1e-6
+    assert out[:, :16].std() > np.asarray(dark).std() * 2
+
+
+def test_clahe_clip_limit_caps_amplification():
+    """Low clip limit flattens the mapping toward identity-ish: a nearly
+    uniform plane must NOT be stretched to full range (the artifact
+    plain adaptive equalization produces)."""
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(0.5 + 0.01 * rng.random((32, 32)), jnp.float32)
+    hard = np.asarray(clahe(x, tiles=4, clip_limit=1e9))
+    soft = np.asarray(clahe(x, tiles=4, clip_limit=1.5))
+    assert hard.std() > 5 * soft.std(), (hard.std(), soft.std())
+
+
+def test_clahe_batched_planar_and_odd_sizes_and_jit():
+    import jax
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.random((2, 3, 37, 45)), jnp.float32)
+    out = jax.jit(lambda v: clahe(v, tiles=3))(x)
+    assert out.shape == x.shape
+    assert np.isfinite(np.asarray(out)).all()
