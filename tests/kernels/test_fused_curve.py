@@ -20,14 +20,14 @@ def test_fused_curve_pipeline_parity_u8(method, size):
     fused = EnhancePipeline(cfg, pallas_interpret=True,
                             model_params=ref.model_params)
     got, want = fused.enhance_batch(lows), ref.enhance_batch(lows)
-    if method == "hybrid":
-        # the exp/log boost chain fuses differently across jit contexts;
-        # last-ulp f32 diffs flip isolated u8 rounding ties (<0.1% pixels) —
-        # same tolerance as the sharded hybrid parity test
-        d = np.abs(got.astype(int) - want.astype(int))
-        assert d.max() <= 1 and (d > 0).mean() < 1e-3
-    else:
-        np.testing.assert_array_equal(got, want)
+    # Last-ulp f32 fusion differences across jit contexts flip isolated u8
+    # rounding ties (<0.1% pixels) — hybrid via the exp/log boost chain,
+    # curve via the full-strength denoise tail (at strength=1.0 the output
+    # IS the filtered value, so its tap-accumulation order decides the
+    # quantize tie directly; measured 1 px / 115,200 at 96x200). Same
+    # tolerance as the sharded parity tests.
+    d = np.abs(got.astype(int) - want.astype(int))
+    assert d.max() <= 1 and (d > 0).mean() < 1e-3, (d.max(), (d > 0).mean())
 
 
 def test_fused_curve_no_denoise_and_downsample():
