@@ -55,7 +55,17 @@ class PipelineConfig:
                                     # edge-preserving so full blend does not
                                     # smear edges. Kernel cost identical (the
                                     # blend is one in-kernel lerp).
-    denoise_sigma: float = 0.12     # range sigma of the bilateral-lite filter
+    denoise_sigma: float = 0.2      # range sigma of the bilateral-lite
+                                    # filter. Swept at full blend on the
+                                    # hardened eval set: 0.12->0.2 gains
+                                    # +0.024 SSIM (curve) / +0.009
+                                    # (retinex) while a 0.5-contrast edge
+                                    # still weighs only e^-3.1 ~= 0.04
+                                    # (strongly edge-preserving); past 0.3
+                                    # the gains (<+0.01 to sigma=3) come
+                                    # from degrading toward a plain box
+                                    # blur that the synthetic noise
+                                    # rewards, so 0.2 is the ship point.
     denoise_kernel: str = "exp"     # range weight: "exp" (classic Gaussian
                                     # bilateral, the default) or "epan"
                                     # (squared Epanechnikov, transcendental-
