@@ -49,12 +49,15 @@ class PipelineConfig:
     denoise_strength: float = 1.0   # 0 disables; blend factor toward the
                                     # filtered image. Full blend measured
                                     # better on EVERY method and metric on
-                                    # the hardened eval set (retinex SSIM
-                                    # 0.30->0.48, decom 0.62->0.73 — round-3
-                                    # quality table); the bilateral is
-                                    # edge-preserving so full blend does not
-                                    # smear edges. Kernel cost identical (the
-                                    # blend is one in-kernel lerp).
+                                    # the hardened eval set (with the sigma
+                                    # default below: retinex SSIM 0.32 ->
+                                    # 0.505, decom 0.63 -> 0.742 — the
+                                    # round-3 quality table in
+                                    # docs/PERFORMANCE.md is the record);
+                                    # the bilateral is edge-preserving so
+                                    # full blend does not smear edges.
+                                    # Kernel cost identical (the blend is
+                                    # one in-kernel lerp).
     denoise_sigma: float = 0.2      # range sigma of the bilateral-lite
                                     # filter. Swept at full blend on the
                                     # hardened eval set: 0.12->0.2 gains

@@ -52,11 +52,14 @@ def clahe(
     TPU-amenable formulation: per-tile histograms via one static-shape
     scatter-add, clip + uniform redistribution of the excess, per-tile CDF
     mapping tables, and a bilinear blend of the 4 surrounding tile
-    mappings per pixel (two table gathers + lerp) — no data-dependent
-    control flow, jit/vmap-friendly. The image is edge-padded up to a
-    tile multiple and cropped back. ``clip_limit`` is the standard
-    multiple-of-uniform-bin-height ceiling; large values approach plain
-    per-tile equalization.
+    mappings per pixel (four table gathers + bilinear lerp) — no
+    data-dependent control flow, jit/vmap-friendly. The image is
+    edge-padded up to a tile multiple and cropped back; padded replicas
+    carry ZERO histogram weight, so border tiles use their true
+    partial-tile counts (an edge-pixel-dominated border mapping would
+    otherwise band). ``clip_limit`` is the standard
+    multiple-of-uniform-bin-height ceiling (relative to each tile's own
+    pixel count); large values approach plain per-tile equalization.
     """
     if tiles < 1:
         raise ValueError(f"tiles must be >= 1, got {tiles}")
@@ -68,6 +71,8 @@ def clahe(
     pad = [(0, 0)] * (x.ndim - 2) + [(0, hp - h), (0, wp - w)]
     xp = jnp.pad(x, pad, mode="edge")
     flat = xp.reshape(-1, hp, wp)
+    valid = ((jnp.arange(hp) < h)[:, None]
+             & (jnp.arange(wp) < w)[None, :]).astype(jnp.float32)
 
     def one_plane(plane):
         idx = jnp.clip((plane * (bins - 1)).astype(jnp.int32), 0, bins - 1)
@@ -78,16 +83,26 @@ def clahe(
         nt = tiles * tiles
         hist = jnp.zeros((nt, bins), jnp.float32).at[
             tid.reshape(-1), idx.reshape(-1)
-        ].add(1.0)
-        # contrast limit: clip each bin at clip_limit * uniform height and
-        # spread the clipped excess uniformly (single pass — the standard
-        # approximation)
-        limit = clip_limit * (th * tw) / bins
+        ].add(valid.reshape(-1))
+        # contrast limit: clip each bin at clip_limit * uniform height
+        # (of this tile's true count) and spread the clipped excess
+        # uniformly (single pass — the standard approximation). Floored
+        # at one count (OpenCV-style): when count << bins the unfloored
+        # limit drops below 1 and clips EVERY occupied bin, flattening
+        # small tiles to an identity ramp.
+        count = jnp.sum(hist, axis=1, keepdims=True)
+        limit = jnp.maximum(clip_limit * count / bins, 1.0)
         excess = jnp.sum(jnp.maximum(hist - limit, 0.0), axis=1,
                          keepdims=True)
         hist = jnp.minimum(hist, limit) + excess / bins
         cdf = jnp.cumsum(hist, axis=1)
-        cdf = cdf / cdf[:, -1:]
+        # a tile can be ALL padding (tiny images: tiles*ceil(h/tiles) can
+        # overshoot h by a full tile); its LUT is still blended into real
+        # border pixels, so give it the identity ramp instead of 0/0
+        ramp = jnp.arange(bins, dtype=jnp.float32) / (bins - 1)
+        cdf = jnp.where(cdf[:, -1:] > 0,
+                        cdf / jnp.maximum(cdf[:, -1:], 1e-9),
+                        ramp[None, :])
         # bilinear blend of the 4 neighboring tile mappings, weighted by
         # distance to tile CENTERS (clamped at the border tiles)
         cy = (jnp.arange(hp) - th / 2.0 + 0.5) / th

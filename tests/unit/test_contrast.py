@@ -79,10 +79,47 @@ def test_clahe_clip_limit_caps_amplification():
 
 
 def test_clahe_batched_planar_and_odd_sizes_and_jit():
-    import jax
-
     rng = np.random.default_rng(3)
     x = jnp.asarray(rng.random((2, 3, 37, 45)), jnp.float32)
     out = jax.jit(lambda v: clahe(v, tiles=3))(x)
     assert out.shape == x.shape
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_clahe_border_tiles_use_true_counts_and_tiny_images_are_finite():
+    """Padded replicas carry zero histogram weight. Construction that
+    catches replica domination: h=65 with tiles=8 pads SEVEN replica rows
+    of the (all-bright) last row into the bottom tile row; an unmasked
+    histogram would weigh brightness 8x and push the dark row-63 pixels'
+    CDF toward 0 (a dark band), while true partial-tile counts keep them
+    near the tile's median. Unclipped (huge limit) so the histogram — not
+    the contrast limit — decides the mapping."""
+    rng = np.random.default_rng(4)
+    x = np.full((65, 64), 0.9, np.float32)
+    x[63] = 0.1 + 0.01 * rng.random(64)  # one dark row next to the edge
+    out = np.asarray(clahe(jnp.asarray(x), tiles=8, clip_limit=1e9))
+    assert np.isfinite(out).all()
+    # masked counts: bottom tile = 1 dark row + 1 bright row -> dark CDF
+    # ranks up to 0.5, blended with the all-bright neighbor tile (LUT 0
+    # for darks) gives ~0.20 measured; an 8x-replica-bright histogram
+    # ranks darks <= 0.11 and lands ~0.03 after the same blend
+    assert out[63].mean() > 0.12, out[63].mean()
+
+    tiny = jnp.asarray(rng.random((10, 10)), jnp.float32)  # th=2, hp=16:
+    out_t = np.asarray(clahe(tiny, tiles=8, clip_limit=2.0))  # empty tiles
+    assert np.isfinite(out_t).all()
+    assert 0.0 <= out_t.min() and out_t.max() <= 1.0 + 1e-6
+
+
+def test_clahe_small_tiles_keep_adaptivity():
+    """The clip-limit floor (1 count): small tiles must still equalize —
+    without the floor every occupied bin clips and the mapping collapses
+    to the identity ramp."""
+    rng = np.random.default_rng(5)
+    # 32x32 at tiles=8 -> 16 px/tile << 256 bins
+    x = jnp.asarray(0.4 + 0.05 * rng.random((32, 32)), jnp.float32)
+    out = np.asarray(clahe(x, tiles=8, clip_limit=1e9))
+    # unclipped equalization must stretch a low-contrast patch well
+    # beyond its input range; the identity-ramp collapse would keep
+    # outputs pinned near the inputs (std ~0.014)
+    assert out.std() > 0.15, out.std()
