@@ -104,7 +104,14 @@ def test_pipeline_matches_block_reference():
     got = np.asarray(pipe.enhance(img))
     want = _run_trained(cfg, img[None], learned_halo(cfg),
                         pipe.model_params)[0].transpose(1, 2, 0)
-    np.testing.assert_array_equal(got, want)
+    # the two canvas sizes compile as different jit programs; XLA fusion
+    # differences flip isolated u8 quantize ties (the sigma=0.2 default
+    # landed 1 px / 46,080 on one) — same documented tolerance as the
+    # sharded parity tests. The halo-size analysis itself stays bit-exact
+    # within ONE jit context (test_small_halo_bit_identical), and
+    # test_fcn_halo_is_divergence_reach... proves the bound is tight.
+    d = np.abs(got.astype(int) - want.astype(int))
+    assert d.max() <= 1 and (d > 0).mean() < 1e-3, (d.max(), (d > 0).mean())
 
 
 def _run_trained(cfg, img, halo, params):
