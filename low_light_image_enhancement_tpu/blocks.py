@@ -113,13 +113,34 @@ def single_block_halo(cfg: PipelineConfig) -> int:
     return _round_up(r, granule)
 
 
-AUTO_PACKED_MAX_BATCH = 32  # exclusive: batch < 32 -> packed on TPU
-# When set (exclusive upper bound), batches in
-# [AUTO_PACKED_MAX_BATCH, AUTO_PACKED12_MAX_BATCH) route to the (1, 2)
-# half-packing — 2x lane fill at 2x structural FLOPs, between packed's
-# small-batch win and xla's large-batch win. None disables the band until
-# the on-chip crossover is measured (bench_conv --impls packed12).
-AUTO_PACKED12_MAX_BATCH: Optional[int] = None
+# Per-method auto bands: (packed_max, packed12_max), exclusive upper
+# bounds on the batch dimension. batch < packed_max -> 'packed';
+# packed_max <= batch < packed12_max -> 'packed12' (None skips the band);
+# else 'xla'. Pinned by END-TO-END pipeline rates (u8->u8, the workload
+# auto serves), not conv-stack-only rates — the two disagree:
+# docs/PERFORMANCE.md round-3 crossover tables. E2e img/s at 600x400:
+#   fcn:   packed 632/662/742 vs xla 348/468/691 at batch 24/32/48; xla
+#          818 vs packed 768 by 64 -> (56, None): midpoint of the
+#          48-win / 64-loss bracket.
+#   curve: packed 491/507/540 vs xla 406/420/567 at batch 24/32/48
+#          -> (40, None): midpoint of the 32-win / 48-loss bracket.
+#   decom: e2e xla dominant by 64 (1841 vs 1164) -> conservative
+#          (32, None).
+# packed12 (2x lanes at 2x FLOPs) wins conv-stack-only on curve at
+# b24-48 (816 vs 764 at 48) but NEVER end-to-end (b48: 553 vs xla 567;
+# its pack/unpack layout passes don't fuse as well into the full graph),
+# so no method carries a packed12 band — it stays an explicit
+# conv_impl choice with parity coverage, recorded as a measured e2e
+# negative. hybrid shares curve's CNN; its ds>1 inputs are smaller
+# (lower MXU utilization, packing pays longer), so curve's bands are
+# conservative for it. Unlisted methods use _AUTO_BANDS_DEFAULT.
+AUTO_CONV_BANDS: dict = {
+    "fcn": (56, None),
+    "decom": (32, None),
+    "curve": (40, None),
+    "hybrid": (40, None),
+}
+_AUTO_BANDS_DEFAULT = (32, None)
 
 
 def resolve_conv_impl(
@@ -131,11 +152,12 @@ def resolve_conv_impl(
     """Resolve conv_impl='auto' and environment gates to a concrete impl.
 
     'auto' (measured policy, docs/PERFORMANCE.md round-3 conv tables):
-    TPU + batch < 32 -> 'packed' (the s2d block conv fills the MXU's lanes
-    when the batch can't: fcn 581 vs 214 img/s at batch 8, 2.7x); TPU +
-    batch >= 32 or unknown -> 'xla' (XLA's conv lowering scales with batch
-    and wins from ~batch 48 up: fcn 1667 vs ~850 at batch 128); off-TPU ->
-    'xla' (packed's 4x structural FLOPs only pay off on the MXU).
+    TPU + known batch -> the per-method AUTO_CONV_BANDS lookup: 'packed'
+    at small batch (the s2d block conv fills the MXU's lanes when the
+    batch can't: fcn e2e 662 vs 468 img/s at batch 32), 'xla' above
+    (XLA's conv lowering scales with batch: fcn e2e 818 vs 768 at batch
+    64). Unknown batch or off-TPU -> 'xla' (packed's structural FLOP
+    inflation only pays off on the MXU).
     Consequence of shape-aware auto: small- and large-batch runs of the
     same image may differ by up to 1 u8 step per pixel (the packing
     reorders the conv contraction; at the bf16 compute default ~20% of
@@ -154,10 +176,11 @@ def resolve_conv_impl(
         on_tpu = jax.default_backend() == "tpu"
         impl = "xla"
         if on_tpu and batch is not None:
-            if batch < AUTO_PACKED_MAX_BATCH:
+            packed_max, packed12_max = AUTO_CONV_BANDS.get(
+                cfg.method, _AUTO_BANDS_DEFAULT)
+            if batch < packed_max:
                 impl = "packed"
-            elif (AUTO_PACKED12_MAX_BATCH is not None
-                  and batch < AUTO_PACKED12_MAX_BATCH):
+            elif packed12_max is not None and batch < packed12_max:
                 impl = "packed12"
         return cfg.replace(conv_impl=impl)
     if cfg.conv_impl == "pallas" and not (use_pallas or interpret):

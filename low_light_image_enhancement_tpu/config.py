@@ -112,12 +112,14 @@ class PipelineConfig:
 
     conv_impl: str = "auto"      # conv-stack lowering for the learned
                                  # models' INFERENCE path:
-                                 # "auto": measured policy (docs/
+                                 # "auto": measured per-method policy
+                                 # (blocks.AUTO_CONV_BANDS; docs/
                                  # PERFORMANCE.md round-3 conv tables) —
-                                 # "packed" on TPU at batch < 32 (2.7x
-                                 # fcn at batch 8), "xla" at batch >= 32
-                                 # (XLA's conv lowering scales with batch
-                                 # and wins from ~48 up) and off-TPU.
+                                 # "packed" on TPU at small batch (2.7x
+                                 # fcn at batch 8), "packed12" in curve's
+                                 # mid-batch band, "xla" at large batch
+                                 # (XLA's conv lowering scales with
+                                 # batch) and off-TPU.
                                  # "xla": lax.conv_general_dilated as-is.
                                  # "pallas": dense-9-tap packed GEMM Pallas
                                  # kernel (kernels/mxu_conv.py) on s2d

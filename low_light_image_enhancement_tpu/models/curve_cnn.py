@@ -189,9 +189,9 @@ def apply_curve_cnn_packed(
     32-channel core runs as plain XLA convs on packed activations (128 full
     lanes vs 32 — ops.patch_conv.pack_block_conv_weights), the 3-channel
     stem as a normal conv. Pure XLA, differentiable; conv_impl='auto'
-    selects it on TPU below batch 32, where it measures fastest — XLA's
-    own lowering wins at large batch (docs/PERFORMANCE.md round-3 conv
-    tables)."""
+    selects it on TPU at small batch (blocks.AUTO_CONV_BANDS), where it
+    measures fastest — XLA's own lowering wins at large batch
+    (docs/PERFORMANCE.md round-3 conv tables)."""
     from low_light_image_enhancement_tpu.models.layers import conv2d
     from low_light_image_enhancement_tpu.ops.patch_conv import (
         conv2d_block_xla,

@@ -1,9 +1,9 @@
 """Space-to-depth block-conv ("packed") model stacks vs the XLA-conv
 reference applies. The packed form is ONE lax.conv per layer on 4x-lane
 activations (ops.patch_conv.conv2d_block_xla) — conv_impl='auto' selects
-it on TPU below batch 32 (docs/PERFORMANCE.md round-3 conv tables) — so
-parity here is the correctness contract for the default small-batch
-learned inference path."""
+it on TPU at small batch (blocks.AUTO_CONV_BANDS; docs/PERFORMANCE.md
+round-3 conv tables) — so parity here is the correctness contract for the
+default small-batch learned inference path."""
 
 import jax
 import jax.numpy as jnp
