@@ -59,6 +59,14 @@ State = Tuple[jnp.ndarray, jnp.ndarray]  # (initialized flag, EMA carry)
 _VIDEO_METHODS = ("retinex", "hybrid", "curve")
 
 
+def _bcast_flag(flag: jnp.ndarray, like: jnp.ndarray) -> jnp.ndarray:
+    """Right-pad the initialized flag with singleton axes so it broadcasts
+    against the carry: scalar () for a single stream, (S,) -> (S, 1, ...)
+    for the multi-stream batch (one flag per stream, so per-stream resets
+    re-seed only that stream's EMA)."""
+    return flag.reshape(flag.shape + (1,) * (like.ndim - flag.ndim))
+
+
 def _illum(xb: jnp.ndarray, cfg: PipelineConfig) -> jnp.ndarray:
     return separable_blur(jnp.max(xb, axis=-3), cfg.blur_radius,
                           cfg.blur_sigma, roll2d)
@@ -121,9 +129,11 @@ def video_step(
     use_pallas: bool = False,
     interpret: bool = False,
 ) -> Tuple[State, jnp.ndarray]:
-    """One frame on a halo'd block (3, HB, WB) — f32 in [0, 1], or uint8
-    (the TPU fast path: the per-pixel tail runs in the fused Pallas kernels
-    when ``use_pallas``; output dtype matches the input).
+    """One frame on a halo'd block (3, HB, WB) — or one frame PER STREAM on
+    a batched block (S, 3, HB, WB) with a per-stream flag of shape (S,) and
+    a carry with leading stream axis — f32 in [0, 1], or uint8 (the TPU
+    fast path: the per-pixel tail runs in the fused Pallas kernels when
+    ``use_pallas``; output dtype matches the input).
 
     ``alpha`` is the new-frame weight of the EMA (1.0 = no smoothing = the
     stateless pipeline). The carry is the compact temporal quantity: the
@@ -155,8 +165,8 @@ def video_step(
 
     if cfg.method in ("retinex", "hybrid"):
         l_now = _illum(xf, cfg)
-        l_mix = jnp.where(initialized, alpha * l_now + (1.0 - alpha) * carry,
-                          l_now)
+        l_mix = jnp.where(_bcast_flag(initialized, l_now),
+                          alpha * l_now + (1.0 - alpha) * carry, l_now)
         # Reflectance from the PER-FRAME illumination (cancels frame-to-frame
         # flicker in the input), re-lit with the temporally-smoothed EMA
         # illumination: out = (x / L_now) * L_ema**gamma. At alpha=1 this is
@@ -197,7 +207,7 @@ def video_step(
         cnn_in = _mask_extent(xf, -halo, h, w)
         ds = cfg.curve_downsample
         maps_now = _curve_maps_lowres(cnn_in, cfg, model_params)
-        maps = jnp.where(initialized,
+        maps = jnp.where(_bcast_flag(initialized, maps_now),
                          alpha * maps_now + (1.0 - alpha) * carry, maps_now)
         new_state = (jnp.ones_like(initialized), maps)
         if use_pallas and ds in (1, 2, 4):
@@ -226,6 +236,41 @@ def video_step(
         f"video path supports methods {_VIDEO_METHODS} (no temporal carry "
         f"exists for {cfg.method!r}; use EnhancePipeline.enhance_stream)"
     )
+
+
+def _make_step(cfg: PipelineConfig, alpha: float, params, use_pallas: bool,
+               interp: bool, h: int, w: int):
+    """Build the rank-agnostic jittable frame step and the per-stream carry
+    shape for an (h, w) frame size: the same function serves a single
+    (H, W, 3) frame and an (S, H, W, 3) multi-stream batch (channel axis is
+    moved to -3 either way, and the flag/carry lead with the stream axis)."""
+    m = MARGIN
+    halo = learned_halo(cfg)
+    h_core, wp = block_geometry(cfg, h, w)
+
+    def step(state, u8):
+        x = jnp.moveaxis(u8, -1, -3)
+        lead = ((0, 0),) * (x.ndim - 2)
+        xb = jnp.pad(
+            x, lead + ((halo, halo + h_core - h), (m, wp - w - m)),
+            mode="edge",
+        )
+        if not use_pallas:
+            xb = normalize_u8(xb)
+        state, yb = video_step(state, xb, cfg, alpha, params, h, w,
+                               use_pallas=use_pallas, interpret=interp)
+        out = yb[..., :h, m : m + w]
+        if out.dtype != jnp.uint8:
+            out = quantize_u8(out)
+        return state, jnp.moveaxis(out, -3, -1)
+
+    ds = cfg.curve_downsample
+    carry_shape = (
+        (cfg.curve_iters, 3, (h_core + 2 * halo) // ds, wp // ds)
+        if cfg.method == "curve"
+        else (h_core + 2 * halo, wp)
+    )
+    return step, carry_shape
 
 
 class VideoEnhancer:
@@ -283,34 +328,9 @@ class VideoEnhancer:
         h, w, c = frame_u8.shape
         if self._shape is None:
             self._shape = (h, w)
-            cfg, alpha, m = self.config, self.alpha, MARGIN
-            halo = learned_halo(cfg)
-            h_core, wp = block_geometry(cfg, h, w)
-            params = self.model_params
-            use_pallas = self._use_pallas
-            interp = self._pallas_interpret
-
-            def step(state, u8):
-                x = jnp.transpose(u8, (2, 0, 1))
-                xb = jnp.pad(
-                    x, ((0, 0), (halo, halo + h_core - h), (m, wp - w - m)),
-                    mode="edge",
-                )
-                if not use_pallas:
-                    xb = normalize_u8(xb)
-                state, yb = video_step(state, xb, cfg, alpha, params, h, w,
-                                       use_pallas=use_pallas,
-                                       interpret=interp)
-                out = yb[:, :h, m : m + w]
-                if out.dtype != jnp.uint8:
-                    out = quantize_u8(out)
-                return state, jnp.transpose(out, (1, 2, 0))
-
-            ds = cfg.curve_downsample
-            self._carry_shape = (
-                (cfg.curve_iters, 3, (h_core + 2 * halo) // ds, wp // ds)
-                if cfg.method == "curve"
-                else (h_core + 2 * halo, wp)
+            step, self._carry_shape = _make_step(
+                self.config, self.alpha, self.model_params,
+                self._use_pallas, self._pallas_interpret, h, w,
             )
             self._step = jax.jit(step)
         elif (h, w) != self._shape:
@@ -322,4 +342,106 @@ class VideoEnhancer:
             self._state = (jnp.zeros((), bool),
                            jnp.zeros(self._carry_shape))
         self._state, out = self._step(self._state, jnp.asarray(frame_u8))
+        return np.asarray(out)
+
+
+class MultiStreamVideoEnhancer:
+    """S independent video streams enhanced in ONE batched device step.
+
+    Measured motivation (docs/PERFORMANCE.md video table): the stateful
+    curve/hybrid video step runs the CNN at batch 1 per frame, where the
+    MXU sits mostly idle (1080p curve ds=4: 137 fps single-stream while the
+    stateless batched pipeline does thousands of img/s). Batching one frame
+    from each of S streams recovers the batched pipeline's utilization while
+    the EMA carry stays strictly per-stream — stream i's output is
+    bit-identical to running it alone through :class:`VideoEnhancer` with
+    the same jnp/fused path (``tests/integration/test_video.py``).
+
+    ::
+
+        mv = MultiStreamVideoEnhancer(8, PipelineConfig(method="curve"))
+        for frames in batches:          # (8, H, W, 3) u8, one frame/stream
+            outs = mv.process(frames)   # (8, H, W, 3)
+        mv.reset(3)                      # scene cut in stream 3 only
+    """
+
+    def __init__(self, n_streams: int,
+                 config: PipelineConfig = PipelineConfig(),
+                 alpha: float = 0.3,
+                 model_params: Optional[Dict[str, Any]] = None,
+                 force_jnp: bool = False,
+                 pallas_interpret: bool = False):
+        if config.method not in _VIDEO_METHODS:
+            raise ValueError(
+                f"video path supports methods {_VIDEO_METHODS}, got "
+                f"{config.method!r}; use EnhancePipeline.enhance_stream for "
+                "per-frame fcn/decom"
+            )
+        if n_streams < 1:
+            raise ValueError(f"n_streams must be >= 1, got {n_streams}")
+        self.n_streams = int(n_streams)
+        self.config = config
+        self.alpha = float(alpha)
+        if model_params is None and config.method != "retinex":
+            from low_light_image_enhancement_tpu.pipeline import (
+                EnhancePipeline,
+            )
+
+            model_params = EnhancePipeline._default_params(config, 0)
+        self.model_params = model_params
+        backend = jax.default_backend()
+        self._use_pallas = config.use_pallas and not force_jnp and (
+            backend == "tpu" or pallas_interpret
+        )
+        self._pallas_interpret = pallas_interpret and backend != "tpu"
+        self._state: Optional[State] = None
+        self._step = None
+        self._shape: Optional[Tuple[int, int]] = None
+
+    def reset(self, stream: Optional[int] = None) -> None:
+        """Re-seed the EMA — all streams, or just ``stream`` (scene cut in
+        one stream leaves the others' temporal state untouched)."""
+        if stream is None:
+            self._state = None
+            return
+        if not 0 <= stream < self.n_streams:
+            raise ValueError(
+                f"stream {stream} out of range [0, {self.n_streams})")
+        if self._state is not None:
+            flag, carry = self._state
+            self._state = (flag.at[stream].set(False), carry)
+
+    @property
+    def carry_bytes(self) -> int:
+        """Total EMA carry across streams (after the first `process`)."""
+        if self._shape is None:
+            raise RuntimeError("carry_bytes is defined after a first frame")
+        return self.n_streams * int(np.prod(self._carry_shape)) * 4
+
+    def process(self, frames_u8: np.ndarray) -> np.ndarray:
+        frames_u8 = np.asarray(frames_u8)
+        if frames_u8.ndim != 4 or frames_u8.shape[0] != self.n_streams:
+            raise ValueError(
+                f"expected (n_streams={self.n_streams}, H, W, 3) u8 frames, "
+                f"got {frames_u8.shape}"
+            )
+        s, h, w, c = frames_u8.shape
+        if self._shape is None:
+            self._shape = (h, w)
+            step, self._carry_shape = _make_step(
+                self.config, self.alpha, self.model_params,
+                self._use_pallas, self._pallas_interpret, h, w,
+            )
+            self._step = jax.jit(step)
+        elif (h, w) != self._shape:
+            raise ValueError(
+                f"frame size changed {self._shape} -> {(h, w)}; "
+                "create a new MultiStreamVideoEnhancer"
+            )
+        if self._state is None:
+            self._state = (
+                jnp.zeros((self.n_streams,), bool),
+                jnp.zeros((self.n_streams,) + self._carry_shape),
+            )
+        self._state, out = self._step(self._state, jnp.asarray(frames_u8))
         return np.asarray(out)

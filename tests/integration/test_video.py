@@ -150,3 +150,95 @@ def test_curve_video_ema_damps_map_changes():
     d_ema = np.abs(np.asarray(ve_s._state[1]) - c1).mean()
     d_raw = np.abs(np.asarray(ve_r._state[1]) - c1).mean()
     assert d_ema < 0.3 * d_raw  # ~= alpha * d_raw
+
+
+# ---------------------------------------------------------------------------
+# MultiStreamVideoEnhancer: S streams in one batched step
+# ---------------------------------------------------------------------------
+
+from low_light_image_enhancement_tpu.video import MultiStreamVideoEnhancer
+
+
+def _stream_videos(s=3, n=4, h=40, w=64):
+    """s independent flickering streams, n frames each."""
+    vids = [_flickering_video(n, h, w, seed=17 + i) for i in range(s)]
+    return [np.stack([vids[i][t] for i in range(s)]) for t in range(n)]
+
+
+@pytest.mark.parametrize("method", ["retinex", "curve"])
+def test_multistream_matches_independent_streams(method):
+    """Each stream of the batched step must equal running it alone through
+    VideoEnhancer (same jnp path; the batched compile may flip isolated u8
+    rounding ties vs the single-frame compile, same tolerance as the other
+    cross-jit-context parity tests)."""
+    s, n = 3, 4
+    kw = {"curve_downsample": 2} if method == "curve" else {}
+    cfg = PipelineConfig(method=method, **kw)
+    mv = MultiStreamVideoEnhancer(s, cfg, alpha=0.3, force_jnp=True)
+    singles = [VideoEnhancer(cfg, alpha=0.3, force_jnp=True,
+                             model_params=mv.model_params)
+               for _ in range(s)]
+    for frames in _stream_videos(s, n):
+        outs = mv.process(frames)
+        for i in range(s):
+            ref = singles[i].process(frames[i])
+            d = np.abs(outs[i].astype(int) - ref.astype(int))
+            assert d.max() <= 1 and (d > 0).mean() < 1e-3
+
+
+def test_multistream_per_stream_reset():
+    """reset(i) re-seeds ONLY stream i's EMA: after the cut, stream i
+    matches a fresh enhancer while the untouched stream keeps matching its
+    continuously-run reference."""
+    s = 2
+    cfg = PipelineConfig()
+    mv = MultiStreamVideoEnhancer(s, cfg, alpha=0.2, force_jnp=True)
+    cont = VideoEnhancer(cfg, alpha=0.2, force_jnp=True)   # mirrors stream 0
+    batches = _stream_videos(s, n=5)
+    for frames in batches[:3]:
+        outs = mv.process(frames)
+        ref0 = cont.process(frames[0])
+        assert np.abs(outs[0].astype(int) - ref0.astype(int)).max() <= 1
+
+    mv.reset(1)
+    fresh = VideoEnhancer(cfg, alpha=0.2, force_jnp=True)  # stream 1 post-cut
+    for frames in batches[3:]:
+        outs = mv.process(frames)
+        ref0 = cont.process(frames[0])
+        ref1 = fresh.process(frames[1])
+        assert np.abs(outs[0].astype(int) - ref0.astype(int)).max() <= 1
+        assert np.abs(outs[1].astype(int) - ref1.astype(int)).max() <= 1
+
+
+def test_multistream_pallas_matches_jnp():
+    """Fused-kernel batched video tail (interpret mode) vs the batched jnp
+    path, per stream."""
+    s = 2
+    cfg = PipelineConfig(method="curve", curve_downsample=2,
+                         compute_dtype="float32")
+    mk = MultiStreamVideoEnhancer(s, cfg, alpha=0.3, pallas_interpret=True)
+    mj = MultiStreamVideoEnhancer(s, cfg, alpha=0.3, force_jnp=True,
+                                  model_params=mk.model_params)
+    for frames in _stream_videos(s, n=3, h=48, w=64):
+        d = np.abs(mk.process(frames).astype(int)
+                   - mj.process(frames).astype(int))
+        assert d.max() <= 1 and (d > 0).mean() < 1e-3
+
+
+def test_multistream_validation_and_carry():
+    cfg = PipelineConfig(method="curve", curve_downsample=2)
+    mv = MultiStreamVideoEnhancer(4, cfg, force_jnp=True)
+    with pytest.raises(ValueError, match="n_streams"):
+        mv.process(np.zeros((3, 40, 64, 3), np.uint8))
+    frames = _stream_videos(4, n=1)[0]
+    mv.process(frames)
+    single = VideoEnhancer(cfg, force_jnp=True,
+                           model_params=mv.model_params)
+    single.process(frames[0])
+    assert mv.carry_bytes == 4 * single.carry_bytes
+    with pytest.raises(ValueError, match="frame size"):
+        mv.process(np.zeros((4, 48, 64, 3), np.uint8))
+    with pytest.raises(ValueError, match="out of range"):
+        mv.reset(7)
+    with pytest.raises(ValueError, match="n_streams"):
+        MultiStreamVideoEnhancer(0, cfg)
