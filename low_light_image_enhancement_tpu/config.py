@@ -116,10 +116,10 @@ class PipelineConfig:
                                  # (blocks.AUTO_CONV_BANDS; docs/
                                  # PERFORMANCE.md round-3 conv tables) —
                                  # "packed" on TPU at small batch (2.7x
-                                 # fcn at batch 8), "packed12" in curve's
-                                 # mid-batch band, "xla" at large batch
+                                 # fcn at batch 8), "xla" at large batch
                                  # (XLA's conv lowering scales with
-                                 # batch) and off-TPU.
+                                 # batch) and off-TPU. No band selects
+                                 # packed12 (a measured e2e negative).
                                  # "xla": lax.conv_general_dilated as-is.
                                  # "pallas": dense-9-tap packed GEMM Pallas
                                  # kernel (kernels/mxu_conv.py) on s2d

@@ -273,20 +273,14 @@ def _make_step(cfg: PipelineConfig, alpha: float, params, use_pallas: bool,
     return step, carry_shape
 
 
-class VideoEnhancer:
-    """Stateful u8 HWC video interface::
+class _VideoBase:
+    """Shared state/compile plumbing for the single- and multi-stream
+    enhancers: method validation, default-weight loading, the Pallas gate,
+    and the compile-on-first-frame step builder."""
 
-        ve = VideoEnhancer(PipelineConfig(), alpha=0.3)
-        for frame in frames:            # (H, W, 3) u8, fixed size
-            out = ve.process(frame)
-        ve.reset()                       # scene cut
-    """
-
-    def __init__(self, config: PipelineConfig = PipelineConfig(),
-                 alpha: float = 0.3,
-                 model_params: Optional[Dict[str, Any]] = None,
-                 force_jnp: bool = False,
-                 pallas_interpret: bool = False):
+    def _init_common(self, config: PipelineConfig, alpha: float,
+                     model_params: Optional[Dict[str, Any]],
+                     force_jnp: bool, pallas_interpret: bool) -> None:
         if config.method not in _VIDEO_METHODS:
             raise ValueError(
                 f"video path supports methods {_VIDEO_METHODS}, got "
@@ -310,6 +304,45 @@ class VideoEnhancer:
         self._state: Optional[State] = None
         self._step = None
         self._shape: Optional[Tuple[int, int]] = None
+
+    def _build(self, h: int, w: int) -> None:
+        """Build + jit the frame step for an (h, w) frame size. conv_impl
+        'auto' is resolved at batch=1 here — NOT at the device-step batch —
+        so a stream's pixels never depend on how many streams share the
+        batched step (resolving at batch=S would flip the conv impl past
+        the AUTO_CONV_BANDS edge and break per-stream parity with a lone
+        VideoEnhancer by ~1 u8 step on ~20% of pixels at the bf16
+        default)."""
+        from low_light_image_enhancement_tpu.blocks import resolve_conv_impl
+
+        self._shape = (h, w)
+        self._resolved_cfg = resolve_conv_impl(
+            self.config, use_pallas=self._use_pallas,
+            interpret=self._pallas_interpret, batch=1,
+        )
+        step, self._carry_shape = _make_step(
+            self._resolved_cfg, self.alpha, self.model_params,
+            self._use_pallas, self._pallas_interpret, h, w,
+        )
+        self._step = jax.jit(step)
+
+
+class VideoEnhancer(_VideoBase):
+    """Stateful u8 HWC video interface::
+
+        ve = VideoEnhancer(PipelineConfig(), alpha=0.3)
+        for frame in frames:            # (H, W, 3) u8, fixed size
+            out = ve.process(frame)
+        ve.reset()                       # scene cut
+    """
+
+    def __init__(self, config: PipelineConfig = PipelineConfig(),
+                 alpha: float = 0.3,
+                 model_params: Optional[Dict[str, Any]] = None,
+                 force_jnp: bool = False,
+                 pallas_interpret: bool = False):
+        self._init_common(config, alpha, model_params, force_jnp,
+                          pallas_interpret)
 
     def reset(self) -> None:
         self._state = None
@@ -325,14 +358,12 @@ class VideoEnhancer:
 
     def process(self, frame_u8: np.ndarray) -> np.ndarray:
         frame_u8 = np.asarray(frame_u8)
-        h, w, c = frame_u8.shape
+        if frame_u8.ndim != 3 or frame_u8.shape[-1] != 3:
+            raise ValueError(
+                f"expected an (H, W, 3) u8 frame, got {frame_u8.shape}")
+        h, w, _ = frame_u8.shape
         if self._shape is None:
-            self._shape = (h, w)
-            step, self._carry_shape = _make_step(
-                self.config, self.alpha, self.model_params,
-                self._use_pallas, self._pallas_interpret, h, w,
-            )
-            self._step = jax.jit(step)
+            self._build(h, w)
         elif (h, w) != self._shape:
             raise ValueError(
                 f"frame size changed {self._shape} -> {(h, w)}; "
@@ -345,7 +376,7 @@ class VideoEnhancer:
         return np.asarray(out)
 
 
-class MultiStreamVideoEnhancer:
+class MultiStreamVideoEnhancer(_VideoBase):
     """S independent video streams enhanced in ONE batched device step.
 
     Measured motivation (docs/PERFORMANCE.md video table): the stateful
@@ -355,7 +386,9 @@ class MultiStreamVideoEnhancer:
     from each of S streams recovers the batched pipeline's utilization while
     the EMA carry stays strictly per-stream — stream i's output is
     bit-identical to running it alone through :class:`VideoEnhancer` with
-    the same jnp/fused path (``tests/integration/test_video.py``).
+    the same jnp/fused path (``tests/integration/test_video.py``; conv_impl
+    'auto' is resolved at batch=1 regardless of S — see ``_VideoBase._build``
+    — so the parity holds at every stream count).
 
     ::
 
@@ -371,32 +404,11 @@ class MultiStreamVideoEnhancer:
                  model_params: Optional[Dict[str, Any]] = None,
                  force_jnp: bool = False,
                  pallas_interpret: bool = False):
-        if config.method not in _VIDEO_METHODS:
-            raise ValueError(
-                f"video path supports methods {_VIDEO_METHODS}, got "
-                f"{config.method!r}; use EnhancePipeline.enhance_stream for "
-                "per-frame fcn/decom"
-            )
         if n_streams < 1:
             raise ValueError(f"n_streams must be >= 1, got {n_streams}")
         self.n_streams = int(n_streams)
-        self.config = config
-        self.alpha = float(alpha)
-        if model_params is None and config.method != "retinex":
-            from low_light_image_enhancement_tpu.pipeline import (
-                EnhancePipeline,
-            )
-
-            model_params = EnhancePipeline._default_params(config, 0)
-        self.model_params = model_params
-        backend = jax.default_backend()
-        self._use_pallas = config.use_pallas and not force_jnp and (
-            backend == "tpu" or pallas_interpret
-        )
-        self._pallas_interpret = pallas_interpret and backend != "tpu"
-        self._state: Optional[State] = None
-        self._step = None
-        self._shape: Optional[Tuple[int, int]] = None
+        self._init_common(config, alpha, model_params, force_jnp,
+                          pallas_interpret)
 
     def reset(self, stream: Optional[int] = None) -> None:
         """Re-seed the EMA — all streams, or just ``stream`` (scene cut in
@@ -420,19 +432,15 @@ class MultiStreamVideoEnhancer:
 
     def process(self, frames_u8: np.ndarray) -> np.ndarray:
         frames_u8 = np.asarray(frames_u8)
-        if frames_u8.ndim != 4 or frames_u8.shape[0] != self.n_streams:
+        if (frames_u8.ndim != 4 or frames_u8.shape[0] != self.n_streams
+                or frames_u8.shape[-1] != 3):
             raise ValueError(
                 f"expected (n_streams={self.n_streams}, H, W, 3) u8 frames, "
                 f"got {frames_u8.shape}"
             )
-        s, h, w, c = frames_u8.shape
+        _, h, w, _ = frames_u8.shape
         if self._shape is None:
-            self._shape = (h, w)
-            step, self._carry_shape = _make_step(
-                self.config, self.alpha, self.model_params,
-                self._use_pallas, self._pallas_interpret, h, w,
-            )
-            self._step = jax.jit(step)
+            self._build(h, w)
         elif (h, w) != self._shape:
             raise ValueError(
                 f"frame size changed {self._shape} -> {(h, w)}; "

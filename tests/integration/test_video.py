@@ -165,14 +165,15 @@ def _stream_videos(s=3, n=4, h=40, w=64):
     return [np.stack([vids[i][t] for i in range(s)]) for t in range(n)]
 
 
-@pytest.mark.parametrize("method", ["retinex", "curve"])
+@pytest.mark.parametrize("method", ["retinex", "curve", "hybrid"])
 def test_multistream_matches_independent_streams(method):
     """Each stream of the batched step must equal running it alone through
     VideoEnhancer (same jnp path; the batched compile may flip isolated u8
     rounding ties vs the single-frame compile, same tolerance as the other
-    cross-jit-context parity tests)."""
+    cross-jit-context parity tests). hybrid covers the rank-4
+    gain-plane/pre-boosted path only multi-stream exercises."""
     s, n = 3, 4
-    kw = {"curve_downsample": 2} if method == "curve" else {}
+    kw = {"curve_downsample": 2} if method in ("curve", "hybrid") else {}
     cfg = PipelineConfig(method=method, **kw)
     mv = MultiStreamVideoEnhancer(s, cfg, alpha=0.3, force_jnp=True)
     singles = [VideoEnhancer(cfg, alpha=0.3, force_jnp=True,
@@ -242,3 +243,22 @@ def test_multistream_validation_and_carry():
         mv.reset(7)
     with pytest.raises(ValueError, match="n_streams"):
         MultiStreamVideoEnhancer(0, cfg)
+
+
+def test_multistream_conv_impl_is_stream_count_independent(monkeypatch):
+    """conv_impl='auto' must resolve at batch=1 regardless of n_streams —
+    resolving at batch=S would flip the impl past the AUTO_CONV_BANDS edge
+    and make a stream's pixels depend on how many streams share the device
+    step (breaking per-stream parity with a lone VideoEnhancer)."""
+    from low_light_image_enhancement_tpu import blocks
+
+    monkeypatch.setattr(blocks.jax, "default_backend", lambda: "tpu")
+    cfg = PipelineConfig(method="curve", curve_downsample=2)
+    single = VideoEnhancer(cfg, force_jnp=True)
+    # far past curve's packed band (40): batch-S resolution would pick xla
+    many = MultiStreamVideoEnhancer(64, cfg, force_jnp=True,
+                                    model_params=single.model_params)
+    single._build(40, 64)
+    many._build(40, 64)
+    assert single._resolved_cfg.conv_impl == "packed"
+    assert many._resolved_cfg.conv_impl == single._resolved_cfg.conv_impl
