@@ -89,10 +89,15 @@ class TrainConfig:
     weight_decay: float = 1e-4
     steps: int = 1000
     # Zero-reference loss weights: the swept recipe of record
-    # (scripts/sweep_zeroref.py "level25-tv1600" — SSIM 0.329 on the
-    # hardened eval set vs classical retinex 0.32; the textbook Zero-DCE
-    # magnitudes exposure_level 0.6 / w_smooth 200 measure SSIM 0.14
-    # there, docs/PERFORMANCE.md zero-reference section).
+    # (scripts/sweep_zeroref.py stage 5 "level32-tv1600" under the round-3
+    # denoise defaults — 13.1 dB / SSIM 0.519 on the hardened eval set vs
+    # classical retinex 10.6 / 0.505; the round-2 optimum was level 0.25
+    # before the full-strength denoise tail shifted it brighter, and the
+    # textbook Zero-DCE magnitudes exposure_level 0.6 / w_smooth 200
+    # measure far below both — docs/PERFORMANCE.md zero-reference section.
+    # Eval SSIM degrades monotonically PAST ~600 steps on this objective
+    # (600: 0.519, 2000: 0.513, 6000: 0.503) — the shipped weights stop
+    # at 600).
     w_exposure: float = 10.0
     w_color: float = 5.0
     w_spatial: float = 1.0
@@ -100,7 +105,7 @@ class TrainConfig:
     # TV weight for the *paired* curve objective (paired_curve_loss): much
     # weaker than the zero-reference prior — the GT supplies the structure.
     w_smooth_paired: float = 20.0
-    exposure_level: float = 0.25
+    exposure_level: float = 0.32
     log_every: int = 50
     checkpoint_every: int = 500
     compute_dtype: str = "float32"

@@ -89,6 +89,20 @@ GRID_STAGE4 = [
     ("level25-tv2400", 0.25, 10.0, 1.0, 2400.0, 5.0),
     ("level27-tv1600", 0.27, 10.0, 1.0, 1600.0, 5.0),
 ]
+# Stage 5 (round-3 defaults re-sweep): the round-3 denoise defaults
+# (full-strength sigma=0.2) shifted the optimum UP — the stronger tail
+# removes the noise that punished bright targets, so stage 3 re-run under
+# the new defaults measured ssim RISING with exposure level (0.20 ->
+# 0.480, 0.25 -> 0.513, 0.30 -> 0.520 at 600 steps, all above classical
+# 0.505) — chase the brighter-target regime.
+GRID_STAGE5 = [
+    ("level32-tv1600", 0.32, 10.0, 1.0, 1600.0, 5.0),
+    ("level35-tv1600", 0.35, 10.0, 1.0, 1600.0, 5.0),
+    ("level38-tv1600", 0.38, 10.0, 1.0, 1600.0, 5.0),
+    ("level42-tv1600", 0.42, 10.0, 1.0, 1600.0, 5.0),
+    ("level35-tv800", 0.35, 10.0, 1.0, 800.0, 5.0),
+    ("level35-tv2400", 0.35, 10.0, 1.0, 2400.0, 5.0),
+]
 # Stage 2: refine around the stage-1 winner (level 0.25-0.35), vary the
 # TV and color-constancy weights that stage 1 held fixed.
 GRID_STAGE2 = [
@@ -139,7 +153,8 @@ def main():
     ap.add_argument("--crop", type=int, default=128)
     ap.add_argument("--only", default=None)
     ap.add_argument("--save", default=None)
-    ap.add_argument("--stage", type=int, default=1, choices=(1, 2, 3, 4))
+    ap.add_argument("--stage", type=int, default=1,
+                    choices=(1, 2, 3, 4, 5))
     args = ap.parse_args()
 
     tcfg = TrainConfig(batch_size=args.batch, crop=args.crop,
@@ -150,7 +165,7 @@ def main():
     pipe = EnhancePipeline(cfg)  # jit takes params as an arg -> one compile
 
     full = {1: GRID, 2: GRID_STAGE2, 3: GRID_STAGE3,
-            4: GRID_STAGE4}[args.stage]
+            4: GRID_STAGE4, 5: GRID_STAGE5}[args.stage]
     grid = [g for g in full if args.only in (None, g[0])]
     best = None
     for name, level, w_exp, w_spa, w_tv, w_col in grid:
