@@ -128,6 +128,7 @@ def video_step(
     w: Optional[int] = None,
     use_pallas: bool = False,
     interpret: bool = False,
+    row0=None,
 ) -> Tuple[State, jnp.ndarray]:
     """One frame on a halo'd block (3, HB, WB) — or one frame PER STREAM on
     a batched block (S, 3, HB, WB) with a per-stream flag of shape (S,) and
@@ -156,6 +157,11 @@ def video_step(
         h = rows
     if w is None:
         w = xb.shape[-1] - 2 * MARGIN
+    if row0 is None:
+        # single-block case: the block's first row is image row -halo. A
+        # spatially-sharded caller passes its own (possibly traced) offset,
+        # e.g. axis_index("spatial") * rows_per_shard - halo.
+        row0 = -halo
     u8_io = xb.dtype == jnp.uint8
     xf = normalize_u8(xb) if u8_io else xb
 
@@ -183,7 +189,7 @@ def video_step(
             boosted = jnp.clip(xf * gain[..., None, :, :], 0.0, 1.0)
             if use_pallas:
                 ds = cfg.curve_downsample
-                cnn_in = _mask_extent(boosted, -halo, h, w)
+                cnn_in = _mask_extent(boosted, row0, h, w)
                 if ds in (2, 4):
                     maps = _curve_maps_lowres(cnn_in, cfg, model_params)
                 else:
@@ -192,7 +198,7 @@ def video_step(
                     xb, maps, cfg, halo, rows, interpret, ds=ds, gain=gain
                 )
             out = enhance_learned_block(
-                xb, cfg, model_params, row0=-halo, h=h, w=w,
+                xb, cfg, model_params, row0=row0, h=h, w=w,
                 pre_boosted=boosted,
             )
             return new_state, out
@@ -204,7 +210,7 @@ def video_step(
         return new_state, _finish(y)
 
     if cfg.method == "curve":
-        cnn_in = _mask_extent(xf, -halo, h, w)
+        cnn_in = _mask_extent(xf, row0, h, w)
         ds = cfg.curve_downsample
         maps_now = _curve_maps_lowres(cnn_in, cfg, model_params)
         maps = jnp.where(_bcast_flag(initialized, maps_now),
