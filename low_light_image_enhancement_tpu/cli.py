@@ -293,7 +293,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                         "behind the shipped weights (docs/PERFORMANCE.md)")
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--crop", type=int, default=512)
-    p.add_argument("--steps", type=int, default=1000)
+    p.add_argument("--steps", type=int, default=600)  # zero-ref early stop
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--resume", action="store_true")

@@ -14,14 +14,15 @@ tail CONSUMES (the ``[halo - MARGIN, halo + rows + MARGIN)`` band) is
 computed from exactly the rows the single-device canvas holds — identical
 values, hence identical EMA trajectories, hence per-shard outputs
 bit-matching a single-device :class:`~..video.VideoEnhancer` up to the
-usual cross-jit-context u8 rounding ties (tested on the 8-device CPU
+usual cross-jit-context u8 rounding ties (tested at up to 8 shards on
+the fake-device CPU
 mesh). Carry rows outside the consumed band may drift from their
 single-device values; they are never read.
 """
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -31,11 +32,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from low_light_image_enhancement_tpu.config import MARGIN, PipelineConfig
 from low_light_image_enhancement_tpu.parallel.halo import halo_pad_local
-from low_light_image_enhancement_tpu.video import (
-    _VIDEO_METHODS,
-    _VideoBase,
-    video_step,
-)
+from low_light_image_enhancement_tpu.video import _VideoBase, video_step
 
 
 class SpatialShardedVideoEnhancer(_VideoBase):
@@ -64,16 +61,8 @@ class SpatialShardedVideoEnhancer(_VideoBase):
         self._init_common(config, alpha, model_params, force_jnp,
                           pallas_interpret)
 
-    def reset(self) -> None:
-        self._state = None
-
-    @property
-    def carry_bytes(self) -> int:
-        """Total EMA carry across shards (after the first `process`) —
-        includes the per-shard halo overlap rows."""
-        if self._shape is None:
-            raise RuntimeError("carry_bytes is defined after a first frame")
-        return int(np.prod(self._carry_shape)) * 4
+    # reset() and carry_bytes come from _VideoBase: _carry_shape here is the
+    # full (n_shards, ...) stack incl. the per-shard halo overlap rows.
 
     def _build(self, h: int, w: int) -> None:
         from low_light_image_enhancement_tpu.blocks import (

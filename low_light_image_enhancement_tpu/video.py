@@ -332,6 +332,19 @@ class _VideoBase:
         )
         self._step = jax.jit(step)
 
+    def reset(self) -> None:
+        self._state = None
+
+    @property
+    def carry_bytes(self) -> int:
+        """EMA carry size in bytes (after the first `process` call) — the
+        compact temporal state: illumination plane (retinex/hybrid) or 1/ds
+        low-res curve maps (curve). Covers all shards/streams where the
+        subclass carries more than one."""
+        if self._shape is None:
+            raise RuntimeError("carry_bytes is defined after a first frame")
+        return int(np.prod(self._carry_shape)) * 4
+
 
 class VideoEnhancer(_VideoBase):
     """Stateful u8 HWC video interface::
@@ -349,18 +362,6 @@ class VideoEnhancer(_VideoBase):
                  pallas_interpret: bool = False):
         self._init_common(config, alpha, model_params, force_jnp,
                           pallas_interpret)
-
-    def reset(self) -> None:
-        self._state = None
-
-    @property
-    def carry_bytes(self) -> int:
-        """EMA carry size in bytes (after the first `process` call) — the
-        compact temporal state: illumination plane (retinex/hybrid) or 1/ds
-        low-res curve maps (curve)."""
-        if self._shape is None:
-            raise RuntimeError("carry_bytes is defined after a first frame")
-        return int(np.prod(self._carry_shape)) * 4
 
     def process(self, frame_u8: np.ndarray) -> np.ndarray:
         frame_u8 = np.asarray(frame_u8)

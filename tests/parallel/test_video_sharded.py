@@ -45,12 +45,15 @@ def _assert_tie_close(a, b):
     assert d.max() <= 1 and (d > 0).mean() < 1e-3
 
 
-def test_sharded_retinex_video_matches_single_device():
-    mesh = make_mesh(n_data=1, n_spatial=4)
+@pytest.mark.parametrize("n_spatial,h", [(4, 96), (8, 128)])
+def test_sharded_retinex_video_matches_single_device(n_spatial, h):
+    if len(jax.devices()) < n_spatial:
+        pytest.skip(f"needs {n_spatial} devices")
+    mesh = make_mesh(n_data=1, n_spatial=n_spatial)
     cfg = PipelineConfig()
     sve = SpatialShardedVideoEnhancer(mesh, cfg, alpha=0.3, force_jnp=True)
     ve = VideoEnhancer(cfg, alpha=0.3, force_jnp=True)
-    for f in _flicker_frames():
+    for f in _flicker_frames(h=h):
         _assert_tie_close(sve.process(f), ve.process(f))
 
 
