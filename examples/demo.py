@@ -56,6 +56,32 @@ def main() -> None:
         means.append(ve.process(frame).mean())
     print("video: output means", [round(m, 1) for m in means], "(stable)")
 
+    # 4b. multi-stream video: one frame from each of 3 streams per device
+    # step, EMA carry per stream (scene cut in stream 1 via reset(1))
+    from low_light_image_enhancement_tpu.video import MultiStreamVideoEnhancer
+
+    mv = MultiStreamVideoEnhancer(3, llie.PipelineConfig(), alpha=0.25)
+    frames = np.stack([
+        (np.clip(scene * lvl, 0, 1) * 255).astype(np.uint8)
+        for lvl in (0.15, 0.2, 0.25)
+    ])
+    mv.process(frames)
+    mv.reset(1)
+    outs3 = mv.process(frames)
+    print("multi-stream video:", outs3.shape, "carry", mv.carry_bytes, "B")
+
+    # 4c. spatially-sharded video: ONE stream's rows over the mesh's
+    # spatial axis (per-shard EMA; here a 1-device mesh — shards scale
+    # with jax.devices() on a slice)
+    from low_light_image_enhancement_tpu.parallel import (
+        SpatialShardedVideoEnhancer,
+        make_mesh,
+    )
+
+    sve = SpatialShardedVideoEnhancer(make_mesh(n_data=1, n_spatial=1),
+                                      llie.PipelineConfig(), alpha=0.25)
+    print("sharded video:", sve.process(frames[0]).shape)
+
     # 5. HTTP serving: POST image bytes, get enhanced bytes back
     import http.client
 
