@@ -408,7 +408,7 @@ CONFIGS = {
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--configs", type=int, nargs="*",
-                    default=[1, 2, 3, 4, 5, 6])
+                    default=[1, 2, 3, 4, 7, 5, 6])
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--cpu-mesh", action="store_true",
                     help="force CPU backend with 8 virtual devices (env vars "
