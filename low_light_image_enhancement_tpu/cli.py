@@ -231,6 +231,10 @@ def cmd_video(args) -> int:
         decode_image,
         encode_image,
     )
+
+    if getattr(args, "streams", False):
+        return _cmd_video_streams(args, decode_image, encode_image)
+
     from low_light_image_enhancement_tpu.video import VideoEnhancer
 
     frames = sorted(glob.glob(args.input_glob))
@@ -247,6 +251,57 @@ def cmd_video(args) -> int:
                                        os.path.basename(path)))
     print(f"wrote {len(frames)} frames to {args.output_dir} "
           f"(carry {enh.carry_bytes} bytes)")
+    return 0
+
+
+def _cmd_video_streams(args, decode_image, encode_image) -> int:
+    """--streams: the glob matches one directory per independent stream;
+    frame t of every stream goes through ONE batched device step
+    (MultiStreamVideoEnhancer — the batch-1 CNN leaves the MXU idle,
+    docs/PERFORMANCE.md video table). Streams advance in lockstep through
+    their sorted frame lists; processing stops at the shortest stream."""
+    import glob
+    import os
+
+    import numpy as np
+
+    from low_light_image_enhancement_tpu.video import (
+        MultiStreamVideoEnhancer,
+    )
+
+    dirs = sorted(d for d in glob.glob(args.input_glob) if os.path.isdir(d))
+    if not dirs:
+        print(f"no stream directories match {args.input_glob!r}",
+              file=sys.stderr)
+        return 1
+    per_stream = []
+    for d in dirs:
+        fs = sorted(
+            os.path.join(d, f) for f in os.listdir(d)
+            if f.lower().endswith((".png", ".jpg", ".jpeg"))
+        )
+        if not fs:
+            print(f"stream directory {d!r} has no frames", file=sys.stderr)
+            return 1
+        per_stream.append(fs)
+    n_frames = min(len(fs) for fs in per_stream)
+    enh = MultiStreamVideoEnhancer(len(dirs), _build_config(args),
+                                   model_params=_model_params(args),
+                                   alpha=args.alpha)
+    for d in dirs:
+        os.makedirs(os.path.join(args.output_dir, os.path.basename(d)),
+                    exist_ok=True)
+    for t in range(n_frames):
+        batch = np.stack([decode_image(fs[t]) for fs in per_stream])
+        outs = enh.process(batch)
+        for i, d in enumerate(dirs):
+            encode_image(
+                outs[i],
+                os.path.join(args.output_dir, os.path.basename(d),
+                             os.path.basename(per_stream[i][t])),
+            )
+    print(f"wrote {n_frames} frames x {len(dirs)} streams to "
+          f"{args.output_dir} (carry {enh.carry_bytes} bytes)")
     return 0
 
 
@@ -345,6 +400,12 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--alpha", type=float, default=0.3,
                    help="new-frame weight of the temporal EMA "
                         "(1.0 = no smoothing)")
+    p.add_argument("--streams", action="store_true",
+                   help="multi-stream mode: the glob matches DIRECTORIES, "
+                        "one independent stream each; one frame from every "
+                        "stream is enhanced per batched device step "
+                        "(MultiStreamVideoEnhancer), outputs mirror the "
+                        "per-stream directory names")
     _add_config_args(p)
     p.set_defaults(fn=cmd_video)
 

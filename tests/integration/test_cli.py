@@ -140,6 +140,34 @@ def test_cli_video_no_match_is_an_error(tmp_path):
                  str(tmp_path / "o")]) == 1
 
 
+def test_cli_video_multi_stream(tmp_path):
+    """`llie video 'streams/*' out --streams`: one directory per stream,
+    frames enhanced in lockstep batched steps, outputs mirror the stream
+    directory names."""
+    root = tmp_path / "streams"
+    for s_name in ("cam_a", "cam_b"):
+        d = root / s_name
+        d.mkdir(parents=True)
+        for i in range(2):
+            low, _ = synth_pair(i, 32, 48)
+            encode_image(low, d / f"f{i:03d}.png")
+    outdir = tmp_path / "out"
+    assert main(["video", str(root / "*"), str(outdir), "--streams",
+                 "--method", "retinex", "--alpha", "0.5"]) == 0
+    for s_name in ("cam_a", "cam_b"):
+        outs = sorted((outdir / s_name).glob("*.png"))
+        assert len(outs) == 2
+        first_in = decode_image(root / s_name / "f000.png")
+        first_out = decode_image(outs[0])
+        assert first_out.shape == first_in.shape
+        assert first_out.astype(float).mean() > first_in.astype(float).mean()
+
+
+def test_cli_video_streams_no_dirs_is_an_error(tmp_path):
+    assert main(["video", str(tmp_path / "none*"), str(tmp_path / "o"),
+                 "--streams"]) == 1
+
+
 def test_cli_train_data_dir(tmp_path):
     """--data-dir trains from an on-disk LOL layout (synthetic files here)
     end to end for a paired and a zeroref objective."""
