@@ -285,21 +285,59 @@ def _cmd_video_streams(args, decode_image, encode_image) -> int:
             return 1
         per_stream.append(fs)
     n_frames = min(len(fs) for fs in per_stream)
+    if any(len(fs) != n_frames for fs in per_stream):
+        shortest = dirs[min(range(len(dirs)),
+                            key=lambda i: len(per_stream[i]))]
+        print(f"warning: streams have unequal frame counts "
+              f"({n_frames}..{max(len(fs) for fs in per_stream)}); "
+              f"truncating all to the shortest, {shortest!r}",
+              file=sys.stderr)
+    # output dir per stream: basename of the normalized path (so trailing
+    # slashes don't collapse to ''), suffixed on collision between
+    # distinct parents ('site_a/cam0' + 'site_b/cam0')
+    names, seen = [], {}
+    for d in dirs:
+        n = os.path.basename(os.path.normpath(d))
+        if n in seen:
+            seen[n] += 1
+            n = f"{n}_{seen[n]}"
+        else:
+            seen[n] = 0
+        names.append(n)
     enh = MultiStreamVideoEnhancer(len(dirs), _build_config(args),
                                    model_params=_model_params(args),
                                    alpha=args.alpha)
-    for d in dirs:
-        os.makedirs(os.path.join(args.output_dir, os.path.basename(d)),
-                    exist_ok=True)
-    for t in range(n_frames):
-        batch = np.stack([decode_image(fs[t]) for fs in per_stream])
-        outs = enh.process(batch)
-        for i, d in enumerate(dirs):
-            encode_image(
-                outs[i],
-                os.path.join(args.output_dir, os.path.basename(d),
-                             os.path.basename(per_stream[i][t])),
-            )
+    for n in names:
+        os.makedirs(os.path.join(args.output_dir, n), exist_ok=True)
+
+    # decode batch t+1 on the prefetch producer while the device enhances
+    # batch t (the batched step is the throughput win — don't stall it on
+    # serial PIL decodes)
+    from low_light_image_enhancement_tpu.io.prefetch import PrefetchQueue
+
+    frame_paths = [tuple(fs[t] for fs in per_stream)
+                   for t in range(n_frames)]
+
+    def _decode_batch(paths):
+        return np.stack([decode_image(p) for p in paths])
+
+    try:
+        for t, batch in enumerate(
+            PrefetchQueue(frame_paths, transform=_decode_batch,
+                          device_put=False)
+        ):
+            outs = enh.process(batch)
+            for i, n in enumerate(names):
+                encode_image(
+                    outs[i],
+                    os.path.join(args.output_dir, n,
+                                 os.path.basename(per_stream[i][t])),
+                )
+    except ValueError as e:
+        # mismatched frame sizes across streams (np.stack) or a stream
+        # changing size mid-sequence (MultiStreamVideoEnhancer's guard)
+        print(f"error: {e}", file=sys.stderr)
+        return 1
     print(f"wrote {n_frames} frames x {len(dirs)} streams to "
           f"{args.output_dir} (carry {enh.carry_bytes} bytes)")
     return 0

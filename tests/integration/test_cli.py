@@ -168,6 +168,39 @@ def test_cli_video_streams_no_dirs_is_an_error(tmp_path):
                  "--streams"]) == 1
 
 
+def test_cli_video_streams_trailing_slash_and_unequal_lengths(tmp_path,
+                                                             capsys):
+    """A trailing-slash glob ('streams/*/') must still key outputs by the
+    stream directory name, and unequal stream lengths truncate with a
+    warning naming the shortest stream."""
+    root = tmp_path / "streams"
+    for s_name, n in (("cam_a", 3), ("cam_b", 2)):
+        d = root / s_name
+        d.mkdir(parents=True)
+        for i in range(n):
+            low, _ = synth_pair(i, 32, 48)
+            encode_image(low, d / f"f{i:03d}.png")
+    outdir = tmp_path / "out"
+    assert main(["video", str(root / "*") + "/", str(outdir), "--streams",
+                 "--method", "retinex"]) == 0
+    assert sorted(p.name for p in outdir.iterdir()) == ["cam_a", "cam_b"]
+    assert len(list((outdir / "cam_a").glob("*.png"))) == 2  # truncated
+    err = capsys.readouterr().err
+    assert "unequal frame counts" in err and "cam_b" in err
+
+
+def test_cli_video_streams_mismatched_sizes_is_an_error(tmp_path, capsys):
+    root = tmp_path / "streams"
+    for s_name, (h, w) in (("a", (32, 48)), ("b", (40, 64))):
+        d = root / s_name
+        d.mkdir(parents=True)
+        low, _ = synth_pair(0, h, w)
+        encode_image(low, d / "f0.png")
+    assert main(["video", str(root / "*"), str(tmp_path / "o"),
+                 "--streams"]) == 1
+    assert "error:" in capsys.readouterr().err
+
+
 def test_cli_train_data_dir(tmp_path):
     """--data-dir trains from an on-disk LOL layout (synthetic files here)
     end to end for a paired and a zeroref objective."""
