@@ -67,6 +67,7 @@ def _retinex_kernel(
     x_ref, *refs, radius, sigma, gamma, eps, inv2s2, strength, margin, th,
     u8_io, dn_kind="exp", guide="perchannel", taps="full",
     stages=("blur", "boost", "denoise"), ext_gain=False,
+    ema_alpha=None, img_w=0,
 ):
     """``stages`` gates the pipeline's compute stages so the per-stage
     device-time tool (scripts/profile_stages.py) can compile truncated
@@ -74,9 +75,56 @@ def _retinex_kernel(
 
     ``ext_gain``: an extra f32 gain-plane stripe input precedes the output
     ref; the kernel applies ``y = x * gain`` instead of computing the
-    illumination boost — the temporally-EMA'd video path's seam
+    illumination boost — the temporally-EMA'd video path's legacy seam
     (video.video_step computes the gain from the smoothed illumination in
-    XLA and the kernel keeps the u8 fast path + fused denoise)."""
+    XLA and the kernel keeps the u8 fast path + fused denoise).
+
+    ``ema_alpha``: the fully-fused video step (video.video_step's default
+    TPU path). An f32 EMA-carry stripe input precedes the output refs and a
+    second output ref receives the mixed illumination plane. The kernel
+    computes the per-frame illumination (max-RGB -> separable blur), mixes
+    ``l_mix = alpha * l_now + (1 - alpha) * carry`` per pixel (a NEGATIVE
+    carry value is the not-yet-initialized sentinel: that pixel takes
+    ``l_now`` — so first frames and per-stream scene-cut resets need no
+    scalar plumbing), applies the temporally-relit gain
+    ``exp(gamma*log(l_mix) - log(l_now))`` (per-frame reflectance, EMA'd
+    illumination — same algebra as the jnp path at video.video_step), and
+    writes both the enhanced stripe and ``l_mix``'s interior rows. All
+    arithmetic mirrors the jnp path op-for-op, so consumed pixels are
+    bit-exact vs the XLA ext_gain route up to cross-compiler exp/log ulps.
+    ``img_w`` restores the MARGIN column-replica invariant on the gain
+    (mirror of blocks.replicate_margin_cols, as the jnp path applies)."""
+    if ema_alpha is not None:
+        c_ref, o_ref, l_ref = refs
+        raw = x_ref[0, 0]  # (3, THh, Wp)
+        if u8_io:
+            x = raw.astype(jnp.int32).astype(jnp.float32) * (1.0 / 255.0)
+        else:
+            x = raw
+        l0 = jnp.maximum(jnp.maximum(x[0], x[1]), x[2])
+        l_now = separable_blur(l0, radius, sigma, kroll2d)
+        carry = c_ref[0, 0, 0]
+        l_mix = jnp.where(carry < 0.0,
+                          l_now,
+                          ema_alpha * l_now + (1.0 - ema_alpha) * carry)
+        gain = jnp.exp(gamma * jnp.log(jnp.clip(l_mix, eps, 1.0))
+                       - jnp.log(jnp.clip(l_now, eps, 1.0)))
+        gain = _kreplicate_cols(gain, margin, img_w)
+        core1, corej = plane_cores(guide, taps)
+        do_dn = strength > 0.0
+        if do_dn and guide == "luma":
+            ys = [jnp.clip(x[c] * gain, 0.0, 1.0) for c in range(3)]
+            ys = corej(ys, inv2s2, strength, kroll2d, dn_kind)
+            for c in range(3):
+                o_ref[0, 0, c] = _finalize_plane(ys[c], margin, th, u8_io)
+        else:
+            for c in range(3):
+                y = jnp.clip(x[c] * gain, 0.0, 1.0)
+                if do_dn:
+                    y = core1(y, inv2s2, strength, kroll2d, dn_kind)
+                o_ref[0, 0, c] = _finalize_plane(y, margin, th, u8_io)
+        l_ref[0, 0, 0] = l_mix[margin : margin + th, :]
+        return
     if ext_gain:
         g_ref, o_ref = refs
     else:
@@ -280,6 +328,68 @@ def fused_curve_enhance(
     out = stripe_pallas_call(kernel, inputs, plan, xp.dtype,
                              interpret=interpret)
     return merge_stripes(out, plan)
+
+
+def fused_retinex_ema(
+    xp: jnp.ndarray,
+    carry: jnp.ndarray,
+    cfg: PipelineConfig,
+    plan: StripePlan,
+    alpha: float,
+    img_w: int,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Fully-fused temporally-stable retinex video step over a padded planar
+    batch (config 4's TPU fast path): u8 normalize -> in-kernel illumination
+    (max-RGB + separable blur) -> per-pixel EMA against ``carry`` (negative
+    carry = uninitialized sentinel) -> temporally-relit gain -> bilateral
+    denoise -> u8 quantize, PLUS the mixed illumination plane as a second
+    output so the EMA state round-trips HBM exactly once per frame.
+
+    Args:
+      xp: (B, 3, Hp, Wp) padded canvas, uint8 (fast path) or f32 in [0, 1].
+      carry: (B, Hp, Wp) f32 EMA illumination carry on the same canvas;
+        pixels < 0 take this frame's illumination unmixed.
+      plan: stripe plan for (Hp, Wp), sized with the EMA kernel's extra
+        planes (see ``retinex_plan_bytes_per_px`` + 16).
+      alpha: EMA new-frame weight (static — fixed per video stream).
+      img_w: unpadded image width (restores the MARGIN column-replica
+        invariant on the gain, as the jnp video path does).
+
+    Returns ``(out, l_mix)``: rows [margin, margin + S*TH) of the enhanced
+    canvas (dtype matches ``xp``) and of the mixed illumination plane (f32,
+    (B, S*TH, Wp)). The caller re-derives carry rows outside the interior
+    band by edge replication — those rows are never consumed (see
+    video.video_step).
+    """
+    u8_io = xp.dtype == jnp.uint8
+    x_stripes = jnp.transpose(extract_stripes(xp, plan), (0, 2, 1, 3, 4))
+    c_stripes = jnp.transpose(
+        extract_stripes(carry[:, None].astype(jnp.float32), plan),
+        (0, 2, 1, 3, 4),
+    )
+    kernel = functools.partial(
+        _retinex_kernel,
+        radius=cfg.blur_radius,
+        sigma=cfg.blur_sigma,
+        gamma=cfg.gamma,
+        eps=cfg.illum_eps,
+        inv2s2=1.0 / (2.0 * cfg.denoise_sigma * cfg.denoise_sigma),
+        strength=cfg.denoise_strength,
+        margin=plan.margin,
+        th=plan.stripe_rows,
+        u8_io=u8_io,
+        dn_kind=cfg.denoise_kernel,
+        guide=cfg.denoise_guide,
+        taps=cfg.denoise_taps,
+        ema_alpha=float(alpha),
+        img_w=img_w,
+    )
+    out, lmix = stripe_pallas_call(
+        kernel, [x_stripes, c_stripes], plan, xp.dtype,
+        interpret=interpret, extra_out=[(1, jnp.float32)],
+    )
+    return merge_stripes(out, plan), merge_stripes(lmix, plan)[:, 0]
 
 
 def retinex_plan_bytes_per_px(cfg: PipelineConfig) -> int:

@@ -96,7 +96,8 @@ def stripe_pallas_call(
     out_dtype,
     interpret: bool = False,
     out_channels: int = 3,
-) -> jnp.ndarray:
+    extra_out=None,
+):
     """Run a per-stripe kernel over (B, S, C, THh, Wp) planar stripes.
 
     ``stripes`` may be one array or a sequence (e.g. image stripes + curve-map
@@ -105,10 +106,29 @@ def stripe_pallas_call(
     step per (image, stripe); the kernel writes the central
     (out_channels, TH, Wp) block. Shared scaffolding for every planar stripe
     kernel so grid/BlockSpec conventions live once.
+
+    ``extra_out``: optional list of (channels, dtype) for additional stripe
+    outputs on the same (TH, Wp) interior grid (e.g. the video EMA kernel's
+    mixed-illumination carry plane); the kernel receives one extra output
+    ref per entry after the main one, and the call returns a tuple.
     """
     arrs = list(stripes) if isinstance(stripes, (list, tuple)) else [stripes]
     b = arrs[0].shape[0]
-    return pl.pallas_call(
+
+    def _ospec(ch):
+        return pl.BlockSpec(
+            (1, 1, ch, plan.stripe_rows, plan.padded_w),
+            lambda i, j: (i, j, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def _oshape(ch, dt):
+        return jax.ShapeDtypeStruct(
+            (b, plan.n_stripes, ch, plan.stripe_rows, plan.padded_w), dt
+        )
+
+    outs = [(out_channels, out_dtype)] + list(extra_out or [])
+    res = pl.pallas_call(
         kernel,
         grid=(b, plan.n_stripes),
         in_specs=[
@@ -121,18 +141,13 @@ def stripe_pallas_call(
             )
             for a in arrs
         ],
-        out_specs=pl.BlockSpec(
-            (1, 1, out_channels, plan.stripe_rows, plan.padded_w),
-            lambda i, j: (i, j, 0, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct(
-            (b, plan.n_stripes, out_channels, plan.stripe_rows,
-             plan.padded_w),
-            out_dtype,
-        ),
+        out_specs=[_ospec(ch) for ch, _ in outs] if extra_out
+        else _ospec(out_channels),
+        out_shape=[_oshape(ch, dt) for ch, dt in outs] if extra_out
+        else _oshape(out_channels, out_dtype),
         interpret=interpret,
     )(*arrs)
+    return tuple(res) if extra_out else res
 
 
 def merge_stripes(out: jnp.ndarray, plan: StripePlan) -> jnp.ndarray:

@@ -23,8 +23,12 @@ temporal quantity — the illumination plane for retinex/hybrid, the 1/ds
 low-res curve maps for curve (ds^2 x smaller than the round-2 full-res map
 carry: 16x at ds=4) — and the per-pixel tail (normalize -> gain/curves ->
 denoise -> quantize) runs in the fused Pallas kernels via their external-
-gain/low-res-map inputs, u8 end-to-end. The jnp path remains for CPU and as
-the parity reference.
+gain/low-res-map inputs, u8 end-to-end. For ``method="retinex"`` the WHOLE
+step is one kernel pass (``kernels.fused_retinex_ema``): illumination,
+per-pixel EMA (negative-sentinel initialization), temporally-relit gain,
+denoise, quantize, and the carry update — the carry round-trips HBM once
+per frame and no full-res XLA plane pass remains. The jnp path remains for
+CPU and as the parity reference.
 """
 
 from __future__ import annotations
@@ -58,6 +62,12 @@ State = Tuple[jnp.ndarray, jnp.ndarray]  # (initialized flag, EMA carry)
 
 _VIDEO_METHODS = ("retinex", "hybrid", "curve")
 
+# Default for video_step's ema_in_kernel=None: route the retinex step
+# through the fully-fused EMA kernel (True) or the ext_gain seam (False).
+# Module-level so the A/B bench can flip it without threading a parameter
+# through every enhancer class.
+EMA_IN_KERNEL = True
+
 
 def _bcast_flag(flag: jnp.ndarray, like: jnp.ndarray) -> jnp.ndarray:
     """Right-pad the initialized flag with singleton axes so it broadcasts
@@ -79,6 +89,65 @@ def _denoise_tail(y: jnp.ndarray, cfg: PipelineConfig) -> jnp.ndarray:
                            cfg.denoise_kernel, cfg.denoise_guide,
                            cfg.denoise_taps)
     return jnp.clip(y, 0.0, 1.0)
+
+
+def _fused_ema_tail(
+    xb: jnp.ndarray,
+    carry_eff: jnp.ndarray,
+    cfg: PipelineConfig,
+    halo: int,
+    rows: int,
+    img_w: int,
+    alpha: float,
+    interpret: bool,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fully-fused retinex video step (kernels.fused_retinex_ema): ONE
+    kernel pass does normalize -> illumination -> per-pixel EMA ->
+    temporally-relit gain -> denoise -> quantize, and emits the new carry.
+    Replaces the ext_gain seam's ~6 full-res XLA plane passes (measured ~2x
+    the stateful 1080p rate — docs/PERFORMANCE.md video section).
+
+    Exactness: the kernel writes l_mix for the block's interior band
+    [halo - MARGIN, halo + rows + MARGIN) — every carry row any consumer
+    (the denoise taps of cropped output rows, this device's or a
+    neighboring shard's own recompute) ever reads, the same consumed-band
+    argument parallel.video_sharded relies on. The outer MARGIN carry rows
+    per side are re-derived by edge replication; they are never read, so
+    single-device and sharded trajectories stay bit-identical to the jnp
+    path on all consumed pixels (up to cross-compiler exp/log ulps, as the
+    stateless kernel).
+    """
+    from low_light_image_enhancement_tpu.kernels.fused_enhance import (
+        fused_retinex_ema,
+        retinex_plan_bytes_per_px,
+    )
+    from low_light_image_enhancement_tpu.kernels.striping import plan_stripes
+
+    single = xb.ndim == 3
+    if single:
+        xb, carry_eff = xb[None], carry_eff[None]
+    wb = xb.shape[-1]
+    band = rows + 2 * (halo - MARGIN)  # rows the kernel writes l_mix for
+    plan = plan_stripes(
+        band, wb - 2 * MARGIN, MARGIN, cfg.stripe_rows,
+        bytes_per_px=retinex_plan_bytes_per_px(cfg) + 16,  # carry+lmix+gain
+    )
+    extra = plan.padded_h - (band + 2 * MARGIN)
+    sub, csub = xb, carry_eff
+    if extra:
+        pads = ((0, extra), (0, 0))
+        sub = jnp.pad(sub, ((0, 0),) * (sub.ndim - 2) + pads, mode="edge")
+        csub = jnp.pad(csub, ((0, 0),) * (csub.ndim - 2) + pads, mode="edge")
+    out, lmix = fused_retinex_ema(sub, csub, cfg, plan, alpha, img_w,
+                                  interpret=interpret)
+    off = halo - MARGIN
+    out = out[..., off : off + rows, :]
+    lead = ((0, 0),) * (lmix.ndim - 2)
+    new_carry = jnp.pad(lmix[..., :band, :],
+                        lead + ((MARGIN, MARGIN), (0, 0)), mode="edge")
+    if single:
+        return out[0], new_carry[0]
+    return out, new_carry
 
 
 def _fused_gain_tail(
@@ -129,6 +198,7 @@ def video_step(
     use_pallas: bool = False,
     interpret: bool = False,
     row0=None,
+    ema_in_kernel: Optional[bool] = None,
 ) -> Tuple[State, jnp.ndarray]:
     """One frame on a halo'd block (3, HB, WB) — or one frame PER STREAM on
     a batched block (S, 3, HB, WB) with a per-stream flag of shape (S,) and
@@ -169,7 +239,19 @@ def video_step(
         y = y[..., halo : halo + rows, :]
         return quantize_u8(y) if u8_io else y
 
+    if ema_in_kernel is None:
+        ema_in_kernel = EMA_IN_KERNEL
     if cfg.method in ("retinex", "hybrid"):
+        if cfg.method == "retinex" and use_pallas and ema_in_kernel:
+            # Fully-fused step: illumination, EMA, gain, denoise and the
+            # carry update all happen inside one kernel pass; the flag
+            # becomes a per-pixel negative sentinel so first frames and
+            # per-stream resets need no in-kernel scalar.
+            carry_eff = jnp.where(_bcast_flag(initialized, carry),
+                                  carry, -1.0)
+            out, new_carry = _fused_ema_tail(xb, carry_eff, cfg, halo,
+                                             rows, w, alpha, interpret)
+            return (jnp.ones_like(initialized), new_carry), out
         l_now = _illum(xf, cfg)
         l_mix = jnp.where(_bcast_flag(initialized, l_now),
                           alpha * l_now + (1.0 - alpha) * carry, l_now)
