@@ -49,7 +49,11 @@ from low_light_image_enhancement_tpu.blocks import (
     learned_halo,
     replicate_margin_cols,
 )
-from low_light_image_enhancement_tpu.config import MARGIN, PipelineConfig
+from low_light_image_enhancement_tpu.config import (
+    MARGIN,
+    PipelineConfig,
+    canvas_margin,
+)
 from low_light_image_enhancement_tpu.ops.colorspace import (
     normalize_u8,
     quantize_u8,
@@ -65,7 +69,10 @@ _VIDEO_METHODS = ("retinex", "hybrid", "curve")
 # Default for video_step's ema_in_kernel=None: route the retinex step
 # through the fully-fused EMA kernel (True) or the ext_gain seam (False).
 # Module-level so the A/B bench can flip it without threading a parameter
-# through every enhancer class.
+# through every enhancer class. NOTE: the flag is read at TRACE time inside
+# video_step — set it BEFORE an enhancer's first process() call (which jits
+# the step); flipping it afterwards has no effect, the jitted step never
+# retraces (A/B runs build one enhancer per setting).
 EMA_IN_KERNEL = True
 
 
@@ -87,7 +94,8 @@ def _denoise_tail(y: jnp.ndarray, cfg: PipelineConfig) -> jnp.ndarray:
         inv2s2 = 1.0 / (2.0 * cfg.denoise_sigma * cfg.denoise_sigma)
         y = denoise_planar(y, inv2s2, cfg.denoise_strength, roll2d,
                            cfg.denoise_kernel, cfg.denoise_guide,
-                           cfg.denoise_taps)
+                           cfg.denoise_taps, cfg.guided_radius,
+                           cfg.guided_eps)
     return jnp.clip(y, 0.0, 1.0)
 
 
@@ -115,8 +123,18 @@ def _fused_ema_tail(
     per side are re-derived by edge replication; they are never read, so
     single-device and sharded trajectories stay bit-identical to the jnp
     path on all consumed pixels (up to cross-compiler exp/log ulps, as the
-    stateless kernel).
+    stateless kernel). Adversarially pinned by the carry-poison tests in
+    tests/kernels/test_fused_retinex_ema.py.
+
+    ``alpha`` is STATIC on this path (baked into the kernel at trace
+    time); a traced alpha needs ``ema_in_kernel=False``.
     """
+    if isinstance(alpha, jax.core.Tracer):
+        raise TypeError(
+            "the fused EMA video kernel bakes alpha in at trace time; pass "
+            "a static float alpha, or ema_in_kernel=False to video_step to "
+            "use the jnp/ext_gain path with a traced alpha"
+        )
     from low_light_image_enhancement_tpu.kernels.fused_enhance import (
         fused_retinex_ema,
         retinex_plan_bytes_per_px,
@@ -126,13 +144,14 @@ def _fused_ema_tail(
     single = xb.ndim == 3
     if single:
         xb, carry_eff = xb[None], carry_eff[None]
+    m = canvas_margin(cfg)
     wb = xb.shape[-1]
-    band = rows + 2 * (halo - MARGIN)  # rows the kernel writes l_mix for
+    band = rows + 2 * (halo - m)  # rows the kernel writes l_mix for
     plan = plan_stripes(
-        band, wb - 2 * MARGIN, MARGIN, cfg.stripe_rows,
+        band, wb - 2 * m, m, cfg.stripe_rows,
         bytes_per_px=retinex_plan_bytes_per_px(cfg) + 16,  # carry+lmix+gain
     )
-    extra = plan.padded_h - (band + 2 * MARGIN)
+    extra = plan.padded_h - (band + 2 * m)
     sub, csub = xb, carry_eff
     if extra:
         pads = ((0, extra), (0, 0))
@@ -140,11 +159,11 @@ def _fused_ema_tail(
         csub = jnp.pad(csub, ((0, 0),) * (csub.ndim - 2) + pads, mode="edge")
     out, lmix = fused_retinex_ema(sub, csub, cfg, plan, alpha, img_w,
                                   interpret=interpret)
-    off = halo - MARGIN
+    off = halo - m
     out = out[..., off : off + rows, :]
     lead = ((0, 0),) * (lmix.ndim - 2)
     new_carry = jnp.pad(lmix[..., :band, :],
-                        lead + ((MARGIN, MARGIN), (0, 0)), mode="edge")
+                        lead + ((m, m), (0, 0)), mode="edge")
     if single:
         return out[0], new_carry[0]
     return out, new_carry
@@ -170,14 +189,15 @@ def _fused_gain_tail(
     single = xb.ndim == 3
     if single:
         xb, gain = xb[None], gain[None]
+    m = canvas_margin(cfg)
     wb = xb.shape[-1]
     plan = plan_stripes(
-        rows, wb - 2 * MARGIN, MARGIN, cfg.stripe_rows,
+        rows, wb - 2 * m, m, cfg.stripe_rows,
         bytes_per_px=retinex_plan_bytes_per_px(cfg) + 8,  # + gain plane
     )
-    sub = xb[..., halo - MARGIN : halo + rows + MARGIN, :]
-    gsub = gain[..., halo - MARGIN : halo + rows + MARGIN, :]
-    extra = plan.padded_h - (rows + 2 * MARGIN)
+    sub = xb[..., halo - m : halo + rows + m, :]
+    gsub = gain[..., halo - m : halo + rows + m, :]
+    extra = plan.padded_h - (rows + 2 * m)
     if extra:
         pads = ((0, extra), (0, 0))
         sub = jnp.pad(sub, ((0, 0),) * (sub.ndim - 2) + pads, mode="edge")
@@ -207,7 +227,11 @@ def video_step(
     ``use_pallas``; output dtype matches the input).
 
     ``alpha`` is the new-frame weight of the EMA (1.0 = no smoothing = the
-    stateless pipeline). The carry is the compact temporal quantity: the
+    stateless pipeline). On the default fused retinex TPU path
+    (``ema_in_kernel``) alpha is STATIC — baked into the kernel at trace
+    time; jitting over a traced alpha raises a TypeError naming
+    ``ema_in_kernel=False`` as the escape hatch (the jnp/ext_gain paths
+    accept a traced alpha). The carry is the compact temporal quantity: the
     (HB, WB) illumination plane for retinex/hybrid, the (n_iter, 3, HB/ds,
     WB/ds) LOW-RES curve maps for curve — EMA-then-upsample equals
     upsample-then-EMA (both linear), so downsampled smoothing loses nothing
@@ -226,7 +250,7 @@ def video_step(
     if h is None:
         h = rows
     if w is None:
-        w = xb.shape[-1] - 2 * MARGIN
+        w = xb.shape[-1] - 2 * canvas_margin(cfg)
     if row0 is None:
         # single-block case: the block's first row is image row -halo. A
         # spatially-sharded caller passes its own (possibly traced) offset,
@@ -264,14 +288,15 @@ def video_step(
         gain = jnp.exp(cfg.gamma * jnp.log(l_mix_safe) - jnp.log(l_now_safe))
         # the blur wraps MARGIN cols at the canvas edge; restore the
         # column-replica invariant before anything consumes the gain
-        gain = replicate_margin_cols(gain, w)
+        gain = replicate_margin_cols(gain, w, canvas_margin(cfg))
         new_state = (jnp.ones_like(initialized), l_mix)
 
         if cfg.method == "hybrid":
             boosted = jnp.clip(xf * gain[..., None, :, :], 0.0, 1.0)
             if use_pallas:
                 ds = cfg.curve_downsample
-                cnn_in = _mask_extent(boosted, row0, h, w)
+                cnn_in = _mask_extent(boosted, row0, h, w,
+                                      canvas_margin(cfg))
                 if ds in (2, 4):
                     maps = _curve_maps_lowres(cnn_in, cfg, model_params)
                 else:
@@ -292,7 +317,7 @@ def video_step(
         return new_state, _finish(y)
 
     if cfg.method == "curve":
-        cnn_in = _mask_extent(xf, row0, h, w)
+        cnn_in = _mask_extent(xf, row0, h, w, canvas_margin(cfg))
         ds = cfg.curve_downsample
         maps_now = _curve_maps_lowres(cnn_in, cfg, model_params)
         maps = jnp.where(_bcast_flag(initialized, maps_now),
@@ -332,7 +357,7 @@ def _make_step(cfg: PipelineConfig, alpha: float, params, use_pallas: bool,
     shape for an (h, w) frame size: the same function serves a single
     (H, W, 3) frame and an (S, H, W, 3) multi-stream batch (channel axis is
     moved to -3 either way, and the flag/carry lead with the stream axis)."""
-    m = MARGIN
+    m = canvas_margin(cfg)
     halo = learned_halo(cfg)
     h_core, wp = block_geometry(cfg, h, w)
 

@@ -169,11 +169,17 @@ def config4_1080p_stream(quick: bool) -> dict:
         out = pipe.enhance_batch_device(batch)
     _sync(out)
     dt = time.perf_counter() - t0
-    return {
+    from low_light_image_enhancement_tpu.utils.roofline import (
+        roofline_report,
+    )
+
+    out = {
         "config": 4,
         "frames": n_frames,
         "fps_1080p": round(n_frames / dt, 2),
     }
+    out.update(roofline_report(pipe.config, h, w, n_frames / dt))
+    return out
 
 
 def config7_video_stateful(quick: bool) -> dict:
@@ -182,6 +188,7 @@ def config7_video_stateful(quick: bool) -> dict:
     gain/low-res-map Pallas tail — chained on-device (state feeds forward),
     one scalar sync at the end. Reported per method; the e2e tunnel-bound
     number is config 4's."""
+    from low_light_image_enhancement_tpu import video as video_mod
     from low_light_image_enhancement_tpu.config import PipelineConfig
     from low_light_image_enhancement_tpu.video import VideoEnhancer
 
@@ -190,13 +197,26 @@ def config7_video_stateful(quick: bool) -> dict:
     rng = np.random.default_rng(0)
     frame = (rng.random((h, w, 3)) * 60).astype(np.uint8)
     out = {"config": 7, "h": h, "w": w}
-    for label, cfg in (
-        ("retinex", PipelineConfig()),
-        ("curve_ds4", PipelineConfig(method="curve", curve_downsample=4)),
-        ("hybrid_ds4", PipelineConfig(method="hybrid", curve_downsample=4)),
+    # retinex runs as an A/B over the in-kernel EMA default (VERDICT r3
+    # item 1): "retinex" is the shipped default (fully-fused
+    # kernels.fused_retinex_ema), "retinex_extgain" the legacy seam (XLA
+    # illumination/EMA + ext_gain kernel tail). EMA_IN_KERNEL is trace-time,
+    # so each arm builds its own enhancer before flipping it back.
+    for label, cfg, ema_in_kernel in (
+        ("retinex", PipelineConfig(), True),
+        ("retinex_extgain", PipelineConfig(), False),
+        ("curve_ds4", PipelineConfig(method="curve", curve_downsample=4),
+         True),
+        ("hybrid_ds4", PipelineConfig(method="hybrid", curve_downsample=4),
+         True),
     ):
-        ve = VideoEnhancer(cfg, alpha=0.3)
-        ve.process(frame)  # compile + init state
+        prev = video_mod.EMA_IN_KERNEL
+        video_mod.EMA_IN_KERNEL = ema_in_kernel
+        try:
+            ve = VideoEnhancer(cfg, alpha=0.3)
+            ve.process(frame)  # compile + init state (traces the flag)
+        finally:
+            video_mod.EMA_IN_KERNEL = prev
         dev = jnp.asarray(frame)
         state = ve._state
 
@@ -215,6 +235,16 @@ def config7_video_stateful(quick: bool) -> dict:
         # of a clamped absurdity (same policy as bench.py)
         fps = n / (tl - ts) if tl > ts else (2 + n) / max(tl, 1e-9)
         out[f"video_fps_{label}"] = round(fps, 2)
+        from low_light_image_enhancement_tpu.utils.roofline import (
+            roofline_report,
+        )
+
+        rl = roofline_report(cfg, h, w, fps)
+        out[f"roofline_{label}"] = {
+            k: rl[k] for k in ("achieved_hbm_gbps", "hbm_util_pct",
+                               "mxu_util_pct", "vpu_util_pct_est",
+                               "roofline_bound")
+        }
 
     # Multi-stream: one batched step carries S streams (the batch-1 CNN
     # leaves the MXU idle — MultiStreamVideoEnhancer recovers the batched
@@ -299,35 +329,44 @@ def config5_4k_sharded(quick: bool) -> dict:
     # Sharded stateful VIDEO at 4K (config 5 x config 4): the
     # SpatialShardedVideoEnhancer step — per-shard EMA carry + per-frame
     # halo exchange — chained on the same mesh.
+    from low_light_image_enhancement_tpu import video as video_mod
     from low_light_image_enhancement_tpu.parallel import (
         SpatialShardedVideoEnhancer,
     )
 
-    sve = SpatialShardedVideoEnhancer(mesh, cfg, alpha=0.3)
     frame_hwc = np.asarray(jnp.moveaxis(x[0], 0, -1))
-    sve.process(frame_hwc)  # compile + init state
-    dev = jnp.asarray(frame_hwc)
-    state = sve._state
+    # A/B over the in-kernel EMA default, as config 7 (VERDICT r3 item 1)
+    for label, ema_in_kernel in (("", True), ("_extgain", False)):
+        prev = video_mod.EMA_IN_KERNEL
+        video_mod.EMA_IN_KERNEL = ema_in_kernel
+        try:
+            sve = SpatialShardedVideoEnhancer(mesh, cfg, alpha=0.3)
+            sve.process(frame_hwc)  # compile + init state
+        finally:
+            video_mod.EMA_IN_KERNEL = prev
+        dev = jnp.asarray(frame_hwc)
+        state = sve._state
 
-    def chain_v(k, state):
-        t0 = time.perf_counter()
-        for _ in range(k):
-            state, y = sve._step(state, dev)
-        _sync(y)
-        return time.perf_counter() - t0, state
+        def chain_v(k, state):
+            t0 = time.perf_counter()
+            for _ in range(k):
+                state, y = sve._step(state, dev)
+            _sync(y)
+            return time.perf_counter() - t0, state
 
-    n_v = 4 if quick else 16
-    chain_v(2, state)
-    chain_v(4 + n_v, state)  # steady-state warmup (layout/alloc settle)
-    rates = []
-    for _ in range(5):
-        ts, _ = chain_v(4, state)
-        tl, _ = chain_v(4 + n_v, state)
-        if tl > ts:
-            rates.append(n_v / (tl - ts))
-        else:  # tunnel jitter inverted the chains: pessimistic total-time
-            rates.append((4 + n_v) / max(tl, 1e-9))
-    out["video_fps_4k_sharded"] = round(float(np.median(rates)), 2)
+        n_v = 4 if quick else 16
+        chain_v(2, state)
+        chain_v(4 + n_v, state)  # steady-state warmup (layout/alloc settle)
+        rates = []
+        for _ in range(5):
+            ts, _ = chain_v(4, state)
+            tl, _ = chain_v(4 + n_v, state)
+            if tl > ts:
+                rates.append(n_v / (tl - ts))
+            else:  # tunnel jitter inverted the chains: pessimistic
+                rates.append((4 + n_v) / max(tl, 1e-9))
+        out[f"video_fps_4k_sharded{label}"] = round(
+            float(np.median(rates)), 2)
     return out
 
 

@@ -111,11 +111,17 @@ def test_curve_video_carry_is_lowres():
 
 
 @pytest.mark.parametrize("method,ds", [("retinex", 1), ("hybrid", 1),
-                                       ("curve", 1), ("curve", 2)])
+                                       ("curve", 1), ("curve", 2),
+                                       ("curve", 8)])
 def test_video_pallas_matches_jnp(method, ds):
     """The fused-kernel video tail (interpret mode on CPU) must reproduce
-    the jnp video path on u8 outputs up to isolated rounding ties."""
-    frames = _flickering_video(3, h=48, w=64)
+    the jnp video path on u8 outputs up to isolated rounding ties.
+
+    ds=8 pins the off-fused-path branch (video.video_step: the in-kernel
+    2-D map upsample covers ds in {1, 2, 4}; ds=8 upsamples the EMA'd maps
+    in XLA and runs the ds=1 fused tail — a documented perf cliff, see
+    docs/PERFORMANCE.md video section)."""
+    frames = _flickering_video(3, h=64, w=64)
     cfg = PipelineConfig(method=method, curve_downsample=ds,
                          compute_dtype="float32")
     ve_k = VideoEnhancer(cfg, alpha=0.3, pallas_interpret=True)
@@ -211,16 +217,24 @@ def test_multistream_per_stream_reset():
         assert np.abs(outs[1].astype(int) - ref1.astype(int)).max() <= 1
 
 
-def test_multistream_pallas_matches_jnp():
+@pytest.mark.parametrize("method", ["curve", "retinex"])
+def test_multistream_pallas_matches_jnp(method):
     """Fused-kernel batched video tail (interpret mode) vs the batched jnp
-    path, per stream."""
+    path, per stream — including a mid-sequence per-stream reset, so the
+    fused retinex path's negative-sentinel carry (one stream of the batch
+    re-seeding while the other keeps its EMA) is exercised in-kernel
+    (ADVICE r3)."""
     s = 2
-    cfg = PipelineConfig(method="curve", curve_downsample=2,
-                         compute_dtype="float32")
+    kw = {"curve_downsample": 2} if method == "curve" else {}
+    cfg = PipelineConfig(method=method, compute_dtype="float32", **kw)
     mk = MultiStreamVideoEnhancer(s, cfg, alpha=0.3, pallas_interpret=True)
     mj = MultiStreamVideoEnhancer(s, cfg, alpha=0.3, force_jnp=True,
                                   model_params=mk.model_params)
-    for frames in _stream_videos(s, n=3, h=48, w=64):
+    assert mk._use_pallas
+    for t, frames in enumerate(_stream_videos(s, n=4, h=48, w=64)):
+        if t == 2:  # scene cut in stream 1 only, both arms
+            mk.reset(1)
+            mj.reset(1)
         d = np.abs(mk.process(frames).astype(int)
                    - mj.process(frames).astype(int))
         assert d.max() <= 1 and (d > 0).mean() < 1e-3
