@@ -86,20 +86,34 @@ def bench_throughput(
             # bad repeat can't leave rates empty -> NaN median
             rates.append(batch * n_long / max(t_long, 1e-9))
     value = float(np.median(rates))
-    return {
+    from low_light_image_enhancement_tpu.utils.roofline import (
+        roofline_report,
+    )
+
+    res = {
         "images_per_sec": value,
         "rate_min": float(np.min(rates)),
         "rate_max": float(np.max(rates)),
+        "rate_iqr_pct": float(
+            100.0 * (np.percentile(rates, 75) - np.percentile(rates, 25))
+            / value
+        ),
         "batch": batch,
         "backend": jax.default_backend(),
         "rates": [round(r, 1) for r in rates],
     }
+    # Roofline placement (VERDICT r3 item 5): achieved TF/s and GB/s vs v5e
+    # peaks, and which ceiling binds, from the analytic per-image cost.
+    res.update(roofline_report(cfg, h, w, value))
+    return res
 
 
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch", type=int, default=48)
     parser.add_argument("--repeats", type=int, default=7)
+    parser.add_argument("--method", default="retinex",
+                        help="pipeline method to bench (headline: retinex)")
     parser.add_argument(
         "--watchdog", type=float, default=1200.0,
         help="seconds before an unresponsive backend (e.g. a dead TPU "
@@ -129,7 +143,8 @@ def main() -> None:
 
         threading.Thread(target=_abort, daemon=True).start()
 
-    res = bench_throughput(batch=args.batch, repeats=args.repeats)
+    res = bench_throughput(batch=args.batch, repeats=args.repeats,
+                           method=args.method)
     if args.watchdog > 0:
         done.set()
     value = res["images_per_sec"]
@@ -142,7 +157,14 @@ def main() -> None:
                 "vs_baseline": round(value / 1000.0, 4),
                 "min": round(res["rate_min"], 2),
                 "max": round(res["rate_max"], 2),
+                "iqr_pct": round(res["rate_iqr_pct"], 2),
                 "n_repeats": len(res["rates"]),
+                "achieved_hbm_gbps": res["achieved_hbm_gbps"],
+                "achieved_mxu_tflops": res["achieved_mxu_tflops"],
+                "hbm_util_pct": res["hbm_util_pct"],
+                "mxu_util_pct": res["mxu_util_pct"],
+                "vpu_util_pct_est": res["vpu_util_pct_est"],
+                "roofline_bound": res["roofline_bound"],
             }
         )
     )
