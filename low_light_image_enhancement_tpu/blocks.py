@@ -32,7 +32,12 @@ from typing import Any, Dict, Optional
 import jax
 import jax.numpy as jnp
 
-from low_light_image_enhancement_tpu.config import MARGIN, PipelineConfig
+from low_light_image_enhancement_tpu.config import (
+    MARGIN,
+    PipelineConfig,
+    canvas_margin,
+    denoise_radius,
+)
 from low_light_image_enhancement_tpu.core import illumination_boost
 from low_light_image_enhancement_tpu.ops.curves import apply_curves
 
@@ -67,11 +72,16 @@ def learned_halo(cfg: PipelineConfig) -> int:
     r = cnn_radius(cfg)
     if cfg.method == "hybrid":
         r += cfg.blur_radius  # boost runs before the CNN sees the block
-    if cfg.denoise_strength > 0.0:
-        r += 1  # 3x3 bilateral tail
+    r += denoise_radius(cfg)  # bilateral (1) or guided (2*r) tail
     granule = 8 * cfg.curve_downsample if cfg.method in ("curve", "hybrid") \
         else 8
-    return _round_up(max(r, MARGIN), granule)
+    # Floor at margin + denoise radius: the fused video step's carry band
+    # spans [halo - margin, halo + rows + margin) while consumers (denoise
+    # taps of cropped outputs) read within denoise_radius of the owned
+    # rows — halo - margin must cover that reach (the consumed-band
+    # argument of video._fused_ema_tail / parallel.video_sharded).
+    floor = canvas_margin(cfg) + denoise_radius(cfg)
+    return _round_up(max(r, floor), granule)
 
 
 def single_block_halo(cfg: PipelineConfig) -> int:
@@ -101,11 +111,18 @@ def single_block_halo(cfg: PipelineConfig) -> int:
     ``learned_halo`` (the full receptive radius) remains required whenever a
     block must carry REAL neighbor content across a shard boundary.
     """
+    if cfg.denoise_taps == "guided":
+        # The first-divergence derivation below assumes the tail reads at
+        # most 1 row past the divergence reach; the guided cascade reads
+        # 2*guided_radius. Rather than re-derive the minimal canvas per
+        # radius, guided configs use the always-safe full receptive halo
+        # (they are quality-oriented; the canvas cut is a small perf nicety).
+        return learned_halo(cfg)
     if cfg.method == "fcn":
         from low_light_image_enhancement_tpu.models.fcn import _dilations
 
-        return _round_up(sum(_dilations(7)[1:]) + 1, 8)
-    r = MARGIN
+        return _round_up(sum(_dilations(7)[1:]) + denoise_radius(cfg), 8)
+    r = canvas_margin(cfg)
     if cfg.method == "hybrid":
         r += cfg.blur_radius
     granule = 8 * cfg.curve_downsample if cfg.method in ("curve", "hybrid") \
@@ -189,20 +206,21 @@ def resolve_conv_impl(
 
 
 def _mask_extent(
-    y: jnp.ndarray, row0, h: int, w: int
+    y: jnp.ndarray, row0, h: int, w: int, m: int = MARGIN
 ) -> jnp.ndarray:
-    """Zero everything outside the image extended by MARGIN replicate
-    rows/cols. Block row l <-> image row row0 + l (row0 may be traced:
-    shard_map passes axis_index * rows_per_shard - halo); block col c <->
-    image col c - MARGIN."""
+    """Zero everything outside the image extended by ``m`` (the config's
+    canvas margin) replicate rows/cols. Block row l <-> image row row0 + l
+    (row0 may be traced: shard_map passes axis_index * rows_per_shard -
+    halo); block col c <-> image col c - m."""
     hb, wb = y.shape[-2], y.shape[-1]
     g = row0 + jax.lax.broadcasted_iota(jnp.int32, (hb, 1), 0)
-    row_ok = (g >= -MARGIN) & (g < h + MARGIN)
-    col_ok = jax.lax.broadcasted_iota(jnp.int32, (1, wb), 1) < w + 2 * MARGIN
+    row_ok = (g >= -m) & (g < h + m)
+    col_ok = jax.lax.broadcasted_iota(jnp.int32, (1, wb), 1) < w + 2 * m
     return jnp.where(row_ok & col_ok, y, 0.0)
 
 
-def replicate_margin_cols(y: jnp.ndarray, w: int) -> jnp.ndarray:
+def replicate_margin_cols(y: jnp.ndarray, w: int,
+                          m: int = MARGIN) -> jnp.ndarray:
     """Restore the MARGIN column-replica invariant after a wrap-roll stage:
     the blurred illumination (and hence the hybrid boost) wraps
     ``blur_radius`` columns at the canvas edges, so canvas cols [0, MARGIN)
@@ -213,10 +231,10 @@ def replicate_margin_cols(y: jnp.ndarray, w: int) -> jnp.ndarray:
     the same two selects in-kernel (`fused_enhance._kreplicate_cols`)."""
     wb = y.shape[-1]
     col = jax.lax.broadcasted_iota(jnp.int32, (1, wb), 1)
-    left = y[..., :, MARGIN:MARGIN + 1]
-    right = y[..., :, MARGIN + w - 1:MARGIN + w]
-    y = jnp.where(col < MARGIN, left, y)
-    return jnp.where(col >= MARGIN + w, right, y)
+    left = y[..., :, m:m + 1]
+    right = y[..., :, m + w - 1:m + w]
+    y = jnp.where(col < m, left, y)
+    return jnp.where(col >= m + w, right, y)
 
 
 def _curve_maps_lowres(
@@ -322,6 +340,7 @@ def enhance_learned_block(
 
     cfg = resolve_conv_impl(cfg, use_pallas=use_pallas, interpret=interpret,
                             batch=xb.shape[0] if xb.ndim == 4 else 1)
+    m = canvas_margin(cfg)
     if halo is None:
         halo = learned_halo(cfg)
     rows = xb.shape[-2] - 2 * halo
@@ -336,9 +355,9 @@ def enhance_learned_block(
         # (replicate_margin_cols) so the CNN never sees wrapped content.
         y = pre_boosted if pre_boosted is not None \
             else illumination_boost(y, cfg)
-        y = replicate_margin_cols(y, w)
+        y = replicate_margin_cols(y, w, m)
 
-    cnn_in = _mask_extent(y if cfg.method == "hybrid" else xf, row0, h, w)
+    cnn_in = _mask_extent(y if cfg.method == "hybrid" else xf, row0, h, w, m)
 
     if cfg.method in ("curve", "hybrid"):
         ds = cfg.curve_downsample
@@ -430,12 +449,15 @@ def enhance_learned_block(
         )
 
         wb = xb.shape[-1]
-        # luma guide holds 3 channels + guide + accumulators live at once
+        # luma guide holds 3 channels + guide + accumulators live at once;
+        # the guided tail holds stats/a/b planes on top
         dn_bpp = 72 if cfg.denoise_guide == "luma" else 40
-        plan = plan_stripes(rows, wb - 2 * MARGIN, MARGIN, cfg.stripe_rows,
+        if cfg.denoise_taps == "guided":
+            dn_bpp += 32
+        plan = plan_stripes(rows, wb - 2 * m, m, cfg.stripe_rows,
                             bytes_per_px=dn_bpp)
-        sub = y[..., halo - MARGIN : halo + rows + MARGIN, :]
-        extra = plan.padded_h - (rows + 2 * MARGIN)
+        sub = y[..., halo - m : halo + rows + m, :]
+        extra = plan.padded_h - (rows + 2 * m)
         if extra:
             sub = jnp.pad(sub, ((0, 0),) * (sub.ndim - 2)
                           + ((0, extra), (0, 0)), mode="edge")
@@ -443,7 +465,9 @@ def enhance_learned_block(
                             plan, interpret=interpret,
                             kind=cfg.denoise_kernel,
                             guide=cfg.denoise_guide,
-                            taps=cfg.denoise_taps)[..., :rows, :]
+                            taps=cfg.denoise_taps,
+                            guided_radius=cfg.guided_radius,
+                            guided_eps=cfg.guided_eps)[..., :rows, :]
         return quantize_u8(out) if u8_io else out
 
     from low_light_image_enhancement_tpu.ops.denoise import denoise_planar
@@ -452,7 +476,7 @@ def enhance_learned_block(
     inv2s2 = 1.0 / (2.0 * cfg.denoise_sigma * cfg.denoise_sigma)
     y = denoise_planar(y, inv2s2, cfg.denoise_strength, roll2d,
                        cfg.denoise_kernel, cfg.denoise_guide,
-                       cfg.denoise_taps)
+                       cfg.denoise_taps, cfg.guided_radius, cfg.guided_eps)
     out = jnp.clip(y, 0.0, 1.0)[..., halo : halo + rows, :]
     return quantize_u8(out) if u8_io else out
 
@@ -490,14 +514,16 @@ def _fused_curve_tail(
         xb, maps = xb[None], maps[None]
         if gain is not None:
             gain = gain[None]
+    m = canvas_margin(cfg)
     wb = xb.shape[-1]
     plan = plan_stripes(
-        rows, wb - 2 * MARGIN, MARGIN, cfg.stripe_rows,
+        rows, wb - 2 * m, m, cfg.stripe_rows,
         bytes_per_px=curve_plan_bytes_per_px(cfg.curve_iters, ds,
-                                             cfg.denoise_guide),
+                                             cfg.denoise_guide,
+                                             cfg.denoise_taps),
     )
-    sub = xb[..., halo - MARGIN : halo + rows + MARGIN, :]
-    extra = plan.padded_h - (rows + 2 * MARGIN)
+    sub = xb[..., halo - m : halo + rows + m, :]
+    extra = plan.padded_h - (rows + 2 * m)
     if extra:
         sub = jnp.pad(
             sub, ((0, 0),) * (sub.ndim - 2) + ((0, extra), (0, 0)),
@@ -505,14 +531,14 @@ def _fused_curve_tail(
         )
     gain_sub = None
     if gain is not None:
-        gain_sub = gain[..., halo - MARGIN : halo + rows + MARGIN, :]
+        gain_sub = gain[..., halo - m : halo + rows + m, :]
         if extra:
             gain_sub = jnp.pad(
                 gain_sub,
                 ((0, 0),) * (gain_sub.ndim - 2) + ((0, extra), (0, 0)),
                 mode="edge",
             )
-    lo0 = (halo - MARGIN) // ds
+    lo0 = (halo - m) // ds
     lo_rows = plan.padded_h // ds
     avail = maps.shape[-2]
     maps_sub = maps[..., lo0 : min(lo0 + lo_rows, avail), :]
@@ -546,5 +572,5 @@ def block_geometry(cfg: PipelineConfig, h: int, w: int, n_shards: int = 1):
             f"rows/shard, below the {halo}-row receptive-field halo of "
             f"method={cfg.method!r}; use fewer shards or larger frames"
         )
-    wp = _round_up(w + 2 * MARGIN, 128)
+    wp = _round_up(w + 2 * canvas_margin(cfg), 128)
     return hl, wp

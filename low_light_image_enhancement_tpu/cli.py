@@ -30,10 +30,16 @@ def _add_config_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--decom-gamma", type=float, default=None,
                    help="decom method's illumination exponent")
     p.add_argument("--denoise-strength", type=float, default=None)
-    p.add_argument("--denoise-taps", choices=["sep", "full"], default=None,
-                   help="sep (default, +37%% throughput) or full 3x3")
+    p.add_argument("--denoise-taps", choices=["sep", "full", "guided"],
+                   default=None,
+                   help="sep (default, +37%% throughput), full 3x3, or the "
+                        "guided-filter tail (quality lever)")
     p.add_argument("--denoise-guide", choices=["luma", "perchannel"],
                    default=None)
+    p.add_argument("--guided-radius", type=int, default=None,
+                   help="guided tail box radius (with --denoise-taps guided)")
+    p.add_argument("--guided-eps", type=float, default=None,
+                   help="guided tail edge/flat threshold")
     p.add_argument("--curve-downsample", type=int, choices=[1, 2, 4, 8],
                    default=None, help="estimate curve maps at 1/N res")
     p.add_argument("--conv-impl",
@@ -61,6 +67,7 @@ def _build_config(args) -> PipelineConfig:
     if getattr(args, "denoise_strength", None) is not None:
         over["denoise_strength"] = args.denoise_strength
     for name in ("decom_gamma", "denoise_taps", "denoise_guide",
+                 "guided_radius", "guided_eps",
                  "curve_downsample", "conv_impl", "data_shards"):
         v = getattr(args, name, None)
         if v is not None:

@@ -67,5 +67,6 @@ def enhance_core_padded(
         inv2s2 = 1.0 / (2.0 * cfg.denoise_sigma * cfg.denoise_sigma)
         x = denoise_planar(x, inv2s2, cfg.denoise_strength, roll2d,
                            cfg.denoise_kernel, cfg.denoise_guide,
-                           cfg.denoise_taps)
+                           cfg.denoise_taps, cfg.guided_radius,
+                           cfg.guided_eps)
     return jnp.clip(x, 0.0, 1.0)

@@ -67,7 +67,7 @@ def _retinex_kernel(
     x_ref, *refs, radius, sigma, gamma, eps, inv2s2, strength, margin, th,
     u8_io, dn_kind="exp", guide="perchannel", taps="full",
     stages=("blur", "boost", "denoise"), ext_gain=False,
-    ema_alpha=None, img_w=0,
+    ema_alpha=None, img_w=0, g_radius=2, g_eps=3e-3,
 ):
     """``stages`` gates the pipeline's compute stages so the per-stage
     device-time tool (scripts/profile_stages.py) can compile truncated
@@ -110,7 +110,7 @@ def _retinex_kernel(
         gain = jnp.exp(gamma * jnp.log(jnp.clip(l_mix, eps, 1.0))
                        - jnp.log(jnp.clip(l_now, eps, 1.0)))
         gain = _kreplicate_cols(gain, margin, img_w)
-        core1, corej = plane_cores(guide, taps)
+        core1, corej = plane_cores(guide, taps, g_radius, g_eps)
         do_dn = strength > 0.0
         if do_dn and guide == "luma":
             ys = [jnp.clip(x[c] * gain, 0.0, 1.0) for c in range(3)]
@@ -147,7 +147,7 @@ def _retinex_kernel(
         else:
             boost = l  # keep the blur's result live without the exp/log
     do_dn = strength > 0.0 and "denoise" in stages
-    core1, corej = plane_cores(guide, taps)
+    core1, corej = plane_cores(guide, taps, g_radius, g_eps)
     if do_dn and guide == "luma":
         # joint bilateral: one weight plane per tap shared by all channels
         ys = [x[c] if boost is None else jnp.clip(x[c] * boost, 0.0, 1.0)
@@ -166,7 +166,7 @@ def _retinex_kernel(
 def _curve_kernel(
     x_ref, m_ref, *refs, boost, n_iter, radius, sigma, gamma, eps, inv2s2,
     strength, margin, th, u8_io, ds, dn_kind="exp", guide="perchannel",
-    taps="full", img_w=0, ext_gain=False,
+    taps="full", img_w=0, ext_gain=False, g_radius=2, g_eps=3e-3,
 ):
     """Fused learned tail (BASELINE.json north_star conv-net fusion, tail
     half): u8 normalize -> optional retinex boost (hybrid) -> ``n_iter``
@@ -215,7 +215,7 @@ def _curve_kernel(
         l = jnp.clip(separable_blur(l0, radius, sigma, kroll2d), eps, 1.0)
         gain = jnp.exp((gamma - 1.0) * jnp.log(l))
     joint = strength > 0.0 and guide == "luma"
-    core1, corej = plane_cores(guide, taps)
+    core1, corej = plane_cores(guide, taps, g_radius, g_eps)
     ys = []
     for c in range(3):  # per-plane 2-D ops keep Mosaic layouts simple
         y = x[c]
@@ -322,6 +322,8 @@ def fused_curve_enhance(
         dn_kind=cfg.denoise_kernel,
         guide=cfg.denoise_guide,
         taps=cfg.denoise_taps,
+        g_radius=cfg.guided_radius,
+        g_eps=cfg.guided_eps,
         img_w=img_w,
         ext_gain=gain is not None,
     )
@@ -382,6 +384,8 @@ def fused_retinex_ema(
         dn_kind=cfg.denoise_kernel,
         guide=cfg.denoise_guide,
         taps=cfg.denoise_taps,
+        g_radius=cfg.guided_radius,
+        g_eps=cfg.guided_eps,
         ema_alpha=float(alpha),
         img_w=img_w,
     )
@@ -398,12 +402,18 @@ def retinex_plan_bytes_per_px(cfg: PipelineConfig) -> int:
     measured, see plan_stripes docstring); the luma-guided joint bilateral
     must hold all 3 boosted channels + the guide + 3 accumulators + the
     weight plane live at once (~110 B/px measured from the Mosaic scoped
-    peak: 28.7 MB over a 408x640 stripe)."""
-    return 120 if cfg.denoise_guide == "luma" else 40
+    peak: 28.7 MB over a 408x640 stripe). The guided tail additionally
+    keeps the guide stats and per-channel a/b planes live (~8 extra f32
+    planes budgeted)."""
+    base = 120 if cfg.denoise_guide == "luma" else 40
+    if cfg.denoise_taps == "guided":
+        base += 32
+    return base
 
 
 def curve_plan_bytes_per_px(n_iter: int, ds: int = 1,
-                            guide: str = "perchannel") -> int:
+                            guide: str = "perchannel",
+                            taps: str = "sep") -> int:
     """Resident VMEM bytes/pixel of the curve kernel for stripe sizing:
     n_iter*3 f32 map planes (1/ds rows when downsampled) + u8 in/out +
     working set. Mosaic's scoped-stack peak measured ~213 B/px for the
@@ -416,8 +426,10 @@ def curve_plan_bytes_per_px(n_iter: int, ds: int = 1,
     # in-kernel 2-D upsample landed; the flat working term carries the
     # full-res temporaries the upsample keeps live.
     base = n_iter * 3 * 4 // (ds * ds) + (150 if ds == 1 else 216)
-    # luma guide additionally holds all 3 curve outputs + guide + accs live
-    return base + (48 if guide == "luma" else 0)
+    # luma guide additionally holds all 3 curve outputs + guide + accs live;
+    # the guided tail its stats and a/b planes
+    base += 48 if guide == "luma" else 0
+    return base + (32 if taps == "guided" else 0)
 
 
 def fused_retinex(
@@ -468,6 +480,8 @@ def fused_retinex(
         dn_kind=cfg.denoise_kernel,
         guide=cfg.denoise_guide,
         taps=cfg.denoise_taps,
+        g_radius=cfg.guided_radius,
+        g_eps=cfg.guided_eps,
         stages=tuple(stages),
         ext_gain=gain is not None,
     )

@@ -23,9 +23,10 @@ from low_light_image_enhancement_tpu.ops.denoise import plane_cores
 
 
 def _denoise_kernel(x_ref, o_ref, *, inv2s2, strength, margin, th,
-                    dn_kind="exp", guide="perchannel", taps="full"):
+                    dn_kind="exp", guide="perchannel", taps="full",
+                    g_radius=2, g_eps=3e-3):
     x = x_ref[0, 0]  # (3, THh, Wp)
-    core1, corej = plane_cores(guide, taps)
+    core1, corej = plane_cores(guide, taps, g_radius, g_eps)
     if guide == "luma":
         ys = corej([x[0], x[1], x[2]], inv2s2, strength, kroll2d, dn_kind)
         for c in range(3):
@@ -45,6 +46,8 @@ def tiled_denoise(
     kind: str = "exp",
     guide: str = "perchannel",
     taps: str = "full",
+    guided_radius: int = 2,
+    guided_eps: float = 3e-3,
 ) -> jnp.ndarray:
     """(B, 3, Hp, Wp) padded canvas -> (B, 3, S*TH, Wp) denoised rows
     [margin, margin + S*TH); caller crops columns."""
@@ -56,6 +59,8 @@ def tiled_denoise(
         dn_kind=kind,
         guide=guide,
         taps=taps,
+        g_radius=guided_radius,
+        g_eps=guided_eps,
         strength=strength,
         margin=plan.margin,
         th=plan.stripe_rows,

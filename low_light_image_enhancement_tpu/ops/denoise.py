@@ -141,27 +141,47 @@ def bilateral_sep_joint_core(planes, inv2s2, strength, shift_fn,
 
 
 GUIDES = ("perchannel", "luma")
-TAPS = ("full", "sep")
+TAPS = ("full", "sep", "guided")
 
 
-def plane_cores(guide: str, taps: str):
+def plane_cores(guide: str, taps: str, guided_radius: int = 2,
+                guided_eps: float = 3e-3):
     """(single-plane core, joint core) pair for a (guide, taps) choice —
-    the same functions the fused Pallas kernels call per stripe."""
+    the same functions the fused Pallas kernels call per stripe. Every core
+    has the uniform signature ``core(x_or_planes, inv2s2, strength,
+    shift_fn, kind)``; the guided cores (taps="guided") bind their radius
+    and eps here and ignore the bilateral's ``inv2s2``/``kind``."""
     if guide not in GUIDES:
         raise ValueError(f"denoise guide must be one of {GUIDES}: {guide!r}")
     if taps not in TAPS:
         raise ValueError(f"denoise taps must be one of {TAPS}: {taps!r}")
+    if taps == "guided":
+        from low_light_image_enhancement_tpu.ops.guided import (
+            guided_core_shift,
+            guided_joint_core_shift,
+        )
+
+        def core1(x, inv2s2, strength, shift_fn, kind="exp"):
+            return guided_core_shift(x, guided_eps, strength, shift_fn,
+                                     guided_radius)
+
+        def corej(planes, inv2s2, strength, shift_fn, kind="exp"):
+            return guided_joint_core_shift(planes, guided_eps, strength,
+                                           shift_fn, guided_radius)
+
+        return core1, corej
     if taps == "full":
         return bilateral_core, bilateral_joint_core
     return bilateral_sep_core, bilateral_sep_joint_core
 
 
 def denoise_planar(x, inv2s2, strength, shift_fn, kind: str = "exp",
-                   guide: str = "perchannel", taps: str = "full"):
+                   guide: str = "perchannel", taps: str = "full",
+                   guided_radius: int = 2, guided_eps: float = 3e-3):
     """Dispatch on (guide, taps) for a planar (..., 3, H, W) array. The
     shared entry used by the pipeline/core/video jnp paths (the Pallas
     kernels call the cores directly on their per-plane layout)."""
-    core1, corej = plane_cores(guide, taps)
+    core1, corej = plane_cores(guide, taps, guided_radius, guided_eps)
     if guide == "perchannel":
         return core1(x, inv2s2, strength, shift_fn, kind)
     planes = [x[..., c, :, :] for c in range(3)]

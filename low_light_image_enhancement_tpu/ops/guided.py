@@ -83,3 +83,62 @@ def guided_denoise(
     luma = 0.299 * r + 0.587 * g + 0.114 * b
     q = guided_filter(x, luma[..., None, :, :], radius, eps)
     return x + strength * (q - x)
+
+
+# --------------------------------------------------------------------- #
+# Shift-based cores (the padded-canvas / in-kernel form, round 4)
+# --------------------------------------------------------------------- #
+# The cumsum integral-image form above is the O(1)-in-radius public op with
+# true edge means. The pipeline's fused kernels and its padded-canvas jnp
+# reference instead run on a replicate-padded canvas where every consumed
+# pixel's window is fully populated — there the box mean is a plain
+# separable (2r+1)-tap average expressed through the SAME ``shift_fn``
+# convention as the bilateral cores (``pltpu.roll`` in-kernel, ``jnp.roll``
+# on the canvas reference), so kernel-vs-jnp parity is tap-for-tap. The
+# canvas margin must cover the cascade's receptive radius 2r
+# (``config.canvas_margin``).
+
+
+def box_mean_shift(x: jnp.ndarray, radius: int, shift_fn) -> jnp.ndarray:
+    """(2r+1)^2 separable box mean over the last two axes via shifts."""
+    k = 1.0 / (2 * radius + 1)
+    for dy, dx in ((1, 0), (0, 1)):
+        acc = x
+        for t in range(1, radius + 1):
+            acc = acc + shift_fn(x, t * dy, t * dx) \
+                + shift_fn(x, -t * dy, -t * dx)
+        x = acc * k
+    return x
+
+
+def guided_core_shift(x, eps, strength, shift_fn, radius: int = 2):
+    """Self-guided filter of one plane (guide = the plane itself) in the
+    shift convention; the per-channel analogue of ``bilateral_core``."""
+    m = box_mean_shift(x, radius, shift_fn)
+    var = box_mean_shift(x * x, radius, shift_fn) - m * m
+    a = var / (var + eps)
+    b = m - a * m
+    q = box_mean_shift(a, radius, shift_fn) * x \
+        + box_mean_shift(b, radius, shift_fn)
+    return x + strength * (q - x)
+
+
+def guided_joint_core_shift(planes, eps, strength, shift_fn,
+                            radius: int = 2):
+    """Luma-guided filter of the 3 channel planes in the shift convention;
+    the joint analogue of ``bilateral_joint_core`` (same channel-mean luma
+    guide as the joint bilateral)."""
+    g = (planes[0] + planes[1] + planes[2]) * (1.0 / 3.0)
+    m_g = box_mean_shift(g, radius, shift_fn)
+    var = box_mean_shift(g * g, radius, shift_fn) - m_g * m_g
+    inv = 1.0 / (var + eps)
+    out = []
+    for p in planes:
+        m_p = box_mean_shift(p, radius, shift_fn)
+        cov = box_mean_shift(g * p, radius, shift_fn) - m_g * m_p
+        a = cov * inv
+        b = m_p - a * m_g
+        q = box_mean_shift(a, radius, shift_fn) * g \
+            + box_mean_shift(b, radius, shift_fn)
+        out.append(p + strength * (q - p))
+    return out

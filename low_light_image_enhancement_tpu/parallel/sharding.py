@@ -19,6 +19,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from low_light_image_enhancement_tpu.config import PipelineConfig
+from low_light_image_enhancement_tpu.config import canvas_margin
 from low_light_image_enhancement_tpu.core import MARGIN, enhance_core_padded
 from low_light_image_enhancement_tpu.kernels.fused_enhance import fused_retinex
 from low_light_image_enhancement_tpu.kernels.striping import plan_stripes
@@ -102,7 +103,7 @@ def enhance_spatial_sharded(
         raise ValueError("uint8 sharded path requires use_pallas=True")
     n_sp = mesh.shape["spatial"]
     b, c, h, w = x.shape
-    m = MARGIN
+    m = canvas_margin(cfg)
     hl = _round_up(-(-h // n_sp), 8)  # rows per shard
     h_core = n_sp * hl
     wp = _round_up(w + 2 * m, 128)
@@ -168,7 +169,7 @@ def _enhance_learned_sharded(
     # fused curve/hybrid tail).
     n_sp = mesh.shape["spatial"]
     b, c, h, w = x.shape
-    m = MARGIN
+    m = canvas_margin(cfg)
     halo = learned_halo(cfg)
     hl, wp = block_geometry(cfg, h, w, n_shards=n_sp)
     h_core = n_sp * hl

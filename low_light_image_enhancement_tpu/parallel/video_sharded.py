@@ -30,7 +30,10 @@ import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-from low_light_image_enhancement_tpu.config import MARGIN, PipelineConfig
+from low_light_image_enhancement_tpu.config import (
+    PipelineConfig,
+    canvas_margin,
+)
 from low_light_image_enhancement_tpu.parallel.halo import halo_pad_local
 from low_light_image_enhancement_tpu.video import _VideoBase, video_step
 
@@ -83,7 +86,7 @@ class SpatialShardedVideoEnhancer(_VideoBase):
         use_pallas, interp = self._use_pallas, self._pallas_interpret
         mesh = self.mesh
         n_sp = mesh.shape["spatial"]
-        m = MARGIN
+        m = canvas_margin(cfg)
         halo = learned_halo(cfg)
         hl, wp = block_geometry(cfg, h, w, n_shards=n_sp)
         h_core = n_sp * hl

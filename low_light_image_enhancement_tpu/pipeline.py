@@ -16,7 +16,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from low_light_image_enhancement_tpu.config import PipelineConfig
+from low_light_image_enhancement_tpu.config import (
+    PipelineConfig,
+    canvas_margin,
+)
 from low_light_image_enhancement_tpu.core import MARGIN, illumination_boost
 from low_light_image_enhancement_tpu.kernels.fused_enhance import fused_retinex
 from low_light_image_enhancement_tpu.kernels.striping import (
@@ -75,7 +78,8 @@ def _enhance_u8_batch(
             inv2s2 = 1.0 / (2.0 * cfg.denoise_sigma * cfg.denoise_sigma)
             yp = denoise_planar(yp, inv2s2, cfg.denoise_strength, roll2d,
                                 cfg.denoise_kernel, cfg.denoise_guide,
-                                cfg.denoise_taps)
+                                cfg.denoise_taps, cfg.guided_radius,
+                                cfg.guided_eps)
         y = jnp.clip(yp, 0.0, 1.0)[:, :, m : m + h, m : m + w]
         return jnp.transpose(quantize_u8(y), (0, 2, 3, 1))
 
@@ -209,7 +213,8 @@ class EnhancePipeline:
                 if fn is not None:
                     return fn
                 plan = plan_stripes(
-                    h, w, MARGIN, self.config.stripe_rows,
+                    h, w, canvas_margin(self.config),
+                    self.config.stripe_rows,
                     bytes_per_px=retinex_plan_bytes_per_px(self.config),
                 )
                 fn = jax.jit(

@@ -8,9 +8,14 @@ def test_unknown_method_rejected():
         PipelineConfig(method="retnex")
 
 
-def test_blur_radius_beyond_margin_rejected():
-    with pytest.raises(ValueError, match="MARGIN"):
-        PipelineConfig(blur_radius=MARGIN)  # needs margin radius+1
+def test_blur_radius_beyond_default_margin_widens_canvas():
+    """Round 4: blur radii past the old MARGIN cap are no longer rejected —
+    the canvas margin adapts instead (config.canvas_margin)."""
+    from low_light_image_enhancement_tpu.config import canvas_margin
+
+    cfg = PipelineConfig(blur_radius=MARGIN)  # receptive 5 > MARGIN
+    assert canvas_margin(cfg) == 8
+    assert canvas_margin(PipelineConfig()) == MARGIN
 
 
 def test_denoise_strength_bounds():
