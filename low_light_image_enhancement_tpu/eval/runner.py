@@ -57,6 +57,15 @@ def eval_lol(
     pipeline = pipeline or EnhancePipeline()
     dataset = dataset or LOLDataset(split="eval15")
     n = len(dataset) if max_images is None else min(max_images, len(dataset))
+    # State which set this eval actually ran (VERDICT r3 item 5: every
+    # quality number must say whether it is real LOL or the stand-in).
+    _LOG.warning(
+        "evaluating %d images from %s",
+        n,
+        "the deterministic SYNTHETIC LOL stand-in (no real LOL data found; "
+        "point --data-dir / LLIE_LOL_DIR at a real LOL layout)"
+        if dataset.is_synthetic else f"real on-disk LOL data ({dataset.split})",
+    )
 
     def batches():
         for start in range(0, n, batch_size):

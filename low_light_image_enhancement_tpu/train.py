@@ -127,6 +127,12 @@ class TrainConfig:
     # device, checkpoints them alongside the raw params, and RETURNS the
     # EMA params — the weights one ships/evaluates. None = off.
     ema_decay: Optional[float] = None
+    # Apply the pipeline's full-strength denoise tail inside the PAIRED
+    # curve loss before comparing to GT (VERDICT r3 item 7: the shipped
+    # hybrid weights optimized pre-denoise output while inference denoises
+    # — training through the tail lets the CNN anticipate it). The
+    # bilateral is differentiable; clamp-shift boundary on the crop.
+    denoise_in_loss: bool = False
 
 
 def zero_reference_loss(
@@ -535,6 +541,19 @@ def paired_curve_loss(
         cnn = jax.checkpoint(cnn)
     a = cnn(params, low)
     y = jnp.clip(apply_curves(low, a), 0.0, 1.0)
+    if tcfg.denoise_in_loss:
+        from low_light_image_enhancement_tpu.config import PipelineConfig
+        from low_light_image_enhancement_tpu.ops.denoise import denoise_planar
+        from low_light_image_enhancement_tpu.ops.filters import shift2d
+
+        pcfg = PipelineConfig()  # the shipping denoise defaults
+        inv2s2 = 1.0 / (2.0 * pcfg.denoise_sigma * pcfg.denoise_sigma)
+        y = jnp.clip(
+            denoise_planar(y, inv2s2, pcfg.denoise_strength, shift2d,
+                           pcfg.denoise_kernel, pcfg.denoise_guide,
+                           pcfg.denoise_taps),
+            0.0, 1.0,
+        )
     l1 = jnp.mean(jnp.abs(y - high))
     s = jnp.mean(ssim(y, high))
     l_tv = smoothness_loss(a)

@@ -27,7 +27,9 @@ WEIGHTS_DIR = (
 
 
 def train_curve(steps: int, batch: int, crop: int,
-                hybrid: bool = False, objective: str = "paired") -> dict:
+                hybrid: bool = False, objective: str = "paired",
+                denoise_in_loss: bool = False,
+                out_name: str = None) -> dict:
     """Curve-CNN training. ``hybrid=True`` trains on retinex-boosted inputs
     (matching the hybrid pipeline, where curves adjust the boosted image)
     and writes curve_hybrid.npz.
@@ -47,7 +49,8 @@ def train_curve(steps: int, batch: int, crop: int,
         make_train_step,
     )
 
-    tcfg = TrainConfig(batch_size=batch, crop=crop, steps=steps)
+    tcfg = TrainConfig(batch_size=batch, crop=crop, steps=steps,
+                       denoise_in_loss=denoise_in_loss)
     params, opt_state = init_train_state(tcfg, seed=0)
     paired = objective == "paired"
     step = (make_paired_curve_train_step if paired else make_train_step)(tcfg)
@@ -69,9 +72,10 @@ def train_curve(steps: int, batch: int, crop: int,
             extra = f" ssim {float(m['ssim']):.4f}" if paired else ""
             print(f"{name} step {i+1}/{steps} loss {last:.4f}{extra} "
                   f"({batch*(i+1)/(time.time()-t0):.0f} img/s)", flush=True)
-    out = "curve_hybrid.npz" if hybrid else "curve_cnn.npz"
+    out = out_name or ("curve_hybrid.npz" if hybrid else "curve_cnn.npz")
     save_params(params, WEIGHTS_DIR / out)
     return {"model": name, "objective": objective,
+            "denoise_in_loss": denoise_in_loss,
             "first_loss": first, "final_loss": last}
 
 
@@ -154,15 +158,24 @@ def main() -> None:
                     choices=("paired", "zeroref"),
                     help="curve/hybrid training objective (paired = shipped-"
                          "weights recipe; zeroref = Zero-DCE config-3 recipe)")
+    ap.add_argument("--denoise-in-loss", action="store_true",
+                    help="paired objective compares AFTER the pipeline's "
+                         "denoise tail (VERDICT r3 item 7 experiment)")
+    ap.add_argument("--out-name", default=None,
+                    help="override the output .npz filename (experiments)")
     args = ap.parse_args()
     print("backend:", jax.default_backend(), flush=True)
     for model in args.models:
         if model == "curve":
             print(train_curve(args.steps, args.batch, args.crop,
-                              objective=args.objective), flush=True)
+                              objective=args.objective,
+                              denoise_in_loss=args.denoise_in_loss,
+                              out_name=args.out_name), flush=True)
         elif model == "hybrid":
             print(train_curve(args.steps, args.batch, args.crop, hybrid=True,
-                              objective=args.objective),
+                              objective=args.objective,
+                              denoise_in_loss=args.denoise_in_loss,
+                              out_name=args.out_name),
                   flush=True)
         elif model == "fcn":
             print(train_fcn_weights(args.steps, args.batch, args.crop),
