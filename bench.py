@@ -42,6 +42,24 @@ def _time_chain(step_fn, x0, n: int) -> float:
     return time.perf_counter() - t0
 
 
+def _device_chain(fn, params, k):
+    """k chained pipeline steps inside ONE jitted program (lax.fori_loop):
+    a single host dispatch per chain, so the short/long marginal measures
+    pure device time. The round-4 methodology fix: the Python-level chain
+    pays one tunnel dispatch per iteration, and that latency varies
+    session-to-session from ~0.1 ms to ~10 ms — at 10 ms it dominates any
+    sub-ms step and the 'marginal rate' measures the tunnel, not the chip
+    (the BENCH_r03 +/-18 pct dispersion, VERDICT r3 item 4)."""
+    import jax
+    from jax import lax
+
+    @jax.jit
+    def run(x):
+        return lax.fori_loop(0, k, lambda i, v: fn(v, params), x)
+
+    return run
+
+
 def bench_throughput(
     batch: int = 48,
     h: int = 400,
@@ -50,10 +68,16 @@ def bench_throughput(
     n_short: int = 8,
     n_long: int = 60,
     method: str = "retinex",
+    chain: str = "device",
 ) -> dict:
-    """batch 48 measured ~5% faster than 64 (and far better than 128+);
-    the long 60-iteration chain keeps the marginal-rate dispersion ~±2%
-    where short chains alias tunnel jitter into 2x outliers."""
+    """batch 48 measured ~5% faster than 64 (and far better than 128+).
+
+    ``chain="device"`` (default since round 4): the short/long chains run
+    as single jitted ``lax.fori_loop`` programs — one tunnel dispatch per
+    chain instead of one per iteration, so the marginal rate measures the
+    chip, not the session's dispatch latency (the BENCH_r03 ±18%
+    dispersion; scripts/probe_bench_dispersion.py is the record).
+    ``chain="python"`` keeps the old per-iteration dispatch protocol."""
     from low_light_image_enhancement_tpu.config import PipelineConfig
     from low_light_image_enhancement_tpu.data.synth import synth_batch
     from low_light_image_enhancement_tpu.pipeline import EnhancePipeline
@@ -65,17 +89,36 @@ def bench_throughput(
     dev = jnp.asarray(lows)
 
     step = pipe.enhance_batch_device
-    _sync(step(dev))  # compile
-    # Steady-state warmup: run (and discard) one full short+long chain pair.
-    # The very first timed chains of a session are otherwise a large outlier
-    # (tunnel session setup / allocator warmup — BENCH_r01 rates[0] was 4x).
-    _time_chain(step, dev, n_short)
-    _time_chain(step, dev, n_long)
+    _sync(step(dev))  # compile the base program
+
+    if chain == "device":
+        fn = pipe._compiled(batch, h, w)
+        run_short = _device_chain(fn, pipe.model_params, n_short)
+        run_long = _device_chain(fn, pipe.model_params, n_long)
+        _sync(run_short(dev))  # compile + session warmup
+        _sync(run_long(dev))
+
+        def t_pair():
+            t0 = time.perf_counter()
+            _sync(run_short(dev))
+            ts = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            _sync(run_long(dev))
+            return ts, time.perf_counter() - t0
+    else:
+        # Steady-state warmup: run (and discard) one full short+long chain
+        # pair (the first timed chains of a session are a large outlier —
+        # BENCH_r01 rates[0] was 4x).
+        _time_chain(step, dev, n_short)
+        _time_chain(step, dev, n_long)
+
+        def t_pair():
+            return (_time_chain(step, dev, n_short),
+                    _time_chain(step, dev, n_long))
 
     rates = []
     for _ in range(repeats):
-        t_short = _time_chain(step, dev, n_short)
-        t_long = _time_chain(step, dev, n_long)
+        t_short, t_long = t_pair()
         marginal = (t_long - t_short) / (n_long - n_short)
         if marginal > 0:
             rates.append(batch / marginal)
@@ -114,6 +157,12 @@ def main() -> None:
     parser.add_argument("--repeats", type=int, default=7)
     parser.add_argument("--method", default="retinex",
                         help="pipeline method to bench (headline: retinex)")
+    parser.add_argument("--chain", default="device",
+                        choices=("device", "python"),
+                        help="chain iterations in one jitted fori_loop "
+                             "(device: dispatch-jitter-immune, default) or "
+                             "per-iteration Python dispatches (the pre-r4 "
+                             "protocol)")
     parser.add_argument(
         "--watchdog", type=float, default=1200.0,
         help="seconds before an unresponsive backend (e.g. a dead TPU "
@@ -144,7 +193,7 @@ def main() -> None:
         threading.Thread(target=_abort, daemon=True).start()
 
     res = bench_throughput(batch=args.batch, repeats=args.repeats,
-                           method=args.method)
+                           method=args.method, chain=args.chain)
     if args.watchdog > 0:
         done.set()
     value = res["images_per_sec"]

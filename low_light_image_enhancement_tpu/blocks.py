@@ -202,6 +202,11 @@ def resolve_conv_impl(
         return cfg.replace(conv_impl=impl)
     if cfg.conv_impl == "pallas" and not (use_pallas or interpret):
         return cfg.replace(conv_impl="xla")
+    if cfg.conv_impl == "cascade" and (
+        cfg.method != "fcn" or not (use_pallas or interpret)
+    ):
+        # the line-buffer cascade kernel implements the fcn stack only
+        return cfg.replace(conv_impl="xla")
     return cfg
 
 
@@ -392,6 +397,16 @@ def enhance_learned_block(
 
         if cfg.conv_impl == "pallas":
             y = apply_fcn_pallas(
+                model_params, cnn_in,
+                compute_dtype=jnp.dtype(cfg.compute_dtype),
+                interpret=interpret,
+            )
+        elif cfg.conv_impl == "cascade":
+            from low_light_image_enhancement_tpu.kernels.fcn_cascade import (
+                apply_fcn_cascade,
+            )
+
+            y = apply_fcn_cascade(
                 model_params, cnn_in,
                 compute_dtype=jnp.dtype(cfg.compute_dtype),
                 interpret=interpret,

@@ -190,6 +190,11 @@ class PipelineConfig:
                                  # FLOPs, for the mid-batch regime between
                                  # packed's small-batch win and xla's
                                  # large-batch win.
+                                 # "cascade": ONE Pallas kernel chaining
+                                 # the whole dilated conv stack through
+                                 # VMEM line buffers (fcn only — other
+                                 # methods degrade to 'xla'; TPU only).
+                                 # kernels/fcn_cascade.py.
 
     # --- sharding (config 5) -------------------------------------------------
     spatial_shards: int = 1      # >1: shard H across `spatial` mesh axis
@@ -239,10 +244,10 @@ class PipelineConfig:
         if self.denoise_taps == "guided" and self.guided_eps <= 0:
             raise ValueError("guided_eps must be > 0")
         if self.conv_impl not in ("auto", "xla", "pallas", "gemm", "packed",
-                                  "packed12"):
+                                  "packed12", "cascade"):
             raise ValueError(
                 "conv_impl must be 'auto', 'xla', 'pallas', 'gemm', "
-                f"'packed' or 'packed12': {self.conv_impl!r}"
+                f"'packed', 'packed12' or 'cascade': {self.conv_impl!r}"
             )
         if self.curve_downsample not in (1, 2, 4, 8):
             raise ValueError(

@@ -182,6 +182,29 @@ def config4_1080p_stream(quick: bool) -> dict:
     return out
 
 
+
+def _video_chain(step, dev, k):
+    """k chained stateful video steps in ONE jitted program (lax.scan with
+    a frame-checksum carry so the per-step output stays live): a single
+    tunnel dispatch per chain — same round-4 methodology fix as
+    bench._device_chain (per-iteration dispatch latency varies ~0.1-10 ms
+    per session and swamps sub-ms video steps)."""
+    import jax as _jax
+
+    @_jax.jit
+    def run(state):
+        def body(carry, _):
+            st, acc = carry
+            st, y = step(st, dev)
+            return (st, acc + jnp.mean(y.astype(jnp.float32))), None
+
+        (st, acc), _ = _jax.lax.scan(body, (state, jnp.float32(0)), None,
+                                     length=k)
+        return st, acc
+
+    return run
+
+
 def config7_video_stateful(quick: bool) -> dict:
     """Temporally-stable video (VideoEnhancer) device rate at 1080p
     (VERDICT r2 item 4): the stateful fused step — EMA carry + external-
@@ -219,15 +242,16 @@ def config7_video_stateful(quick: bool) -> dict:
             video_mod.EMA_IN_KERNEL = prev
         dev = jnp.asarray(frame)
         state = ve._state
+        runs = {k: _video_chain(ve._step, dev, k) for k in (2, 2 + n)}
 
         def chain(k, state):
             t0 = time.perf_counter()
-            for _ in range(k):
-                state, y = ve._step(state, dev)
-            _sync(y)
-            return time.perf_counter() - t0, state
+            st, acc = runs[k](state)
+            _ = float(acc)
+            return time.perf_counter() - t0, st
 
         chain(2, state)
+        chain(2 + n, state)
         ts, _ = chain(2, state)
         tl, _ = chain(2 + n, state)
         # marginal rate between the chains; non-positive marginals (tunnel
@@ -261,15 +285,16 @@ def config7_video_stateful(quick: bool) -> dict:
         mv.process(frames)  # compile + init state
         dev = jnp.asarray(frames)
         state = mv._state
+        runs_s = {k: _video_chain(mv._step, dev, k) for k in (2, 2 + n)}
 
         def chain_s(k, state):
             t0 = time.perf_counter()
-            for _ in range(k):
-                state, y = mv._step(state, dev)
-            _sync(y)
-            return time.perf_counter() - t0, state
+            st, acc = runs_s[k](state)
+            _ = float(acc)
+            return time.perf_counter() - t0, st
 
         chain_s(2, state)
+        chain_s(2 + n, state)
         ts, _ = chain_s(2, state)
         tl, _ = chain_s(2 + n, state)
         fps = (s * n / (tl - ts) if tl > ts
@@ -346,16 +371,17 @@ def config5_4k_sharded(quick: bool) -> dict:
             video_mod.EMA_IN_KERNEL = prev
         dev = jnp.asarray(frame_hwc)
         state = sve._state
+        runs_v = {k: _video_chain(sve._step, dev, k)
+                  for k in (4, 4 + (4 if quick else 16))}
 
         def chain_v(k, state):
             t0 = time.perf_counter()
-            for _ in range(k):
-                state, y = sve._step(state, dev)
-            _sync(y)
-            return time.perf_counter() - t0, state
+            st, acc = runs_v[k](state)
+            _ = float(acc)
+            return time.perf_counter() - t0, st
 
         n_v = 4 if quick else 16
-        chain_v(2, state)
+        chain_v(4, state)
         chain_v(4 + n_v, state)  # steady-state warmup (layout/alloc settle)
         rates = []
         for _ in range(5):

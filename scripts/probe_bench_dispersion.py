@@ -19,6 +19,11 @@ point) with the real chip.
 
 from __future__ import annotations
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import json
 import multiprocessing
 import time
@@ -35,7 +40,11 @@ def _sync(x):
     _ = int(x[(0,) * x.ndim])
 
 
-def measure(cfg, batch=48, repeats=7, n_short=8, n_long=60):
+def measure(cfg, batch=48, repeats=7, n_short=8, n_long=60,
+            chain_mode="python"):
+    """chain_mode="python": one tunnel dispatch per iteration (the pre-r4
+    headline protocol under test here). "device": the round-4 fix — the
+    whole chain is one jitted lax.fori_loop (bench._device_chain)."""
     pipe = EnhancePipeline(cfg)
     lows, _ = synth_batch(8, 400, 600)
     lows = np.tile(lows, (-(-batch // 8), 1, 1, 1))[:batch]
@@ -43,13 +52,25 @@ def measure(cfg, batch=48, repeats=7, n_short=8, n_long=60):
     step = pipe.enhance_batch_device
     _sync(step(dev))
 
-    def chain(n):
-        t0 = time.perf_counter()
-        x = dev
-        for _ in range(n):
-            x = step(x)
-        _sync(x)
-        return time.perf_counter() - t0
+    if chain_mode == "device":
+        from bench import _device_chain
+
+        fn = pipe._compiled(batch, 400, 600)
+        runs = {n: _device_chain(fn, pipe.model_params, n)
+                for n in (n_short, n_long)}
+
+        def chain(n):
+            t0 = time.perf_counter()
+            _sync(runs[n](dev))
+            return time.perf_counter() - t0
+    else:
+        def chain(n):
+            t0 = time.perf_counter()
+            x = dev
+            for _ in range(n):
+                x = step(x)
+            _sync(x)
+            return time.perf_counter() - t0
 
     chain(n_short)
     chain(n_long)
@@ -84,11 +105,13 @@ def _busy(stop):
 def main():
     out = {}
     out["A1_default"] = measure(PipelineConfig())
+    out["A1_device_chain"] = measure(PipelineConfig(), chain_mode="device")
     out["B_perchannel"] = measure(PipelineConfig(denoise_guide="perchannel"))
     out["C_r2_denoise"] = measure(
         PipelineConfig(denoise_sigma=0.12, denoise_strength=0.5))
     out["D_long120"] = measure(PipelineConfig(), n_long=120)
     out["A2_default_again"] = measure(PipelineConfig())
+    out["A2_device_chain"] = measure(PipelineConfig(), chain_mode="device")
 
     stop = multiprocessing.Event()
     workers = [multiprocessing.Process(target=_busy, args=(stop,))
@@ -97,6 +120,8 @@ def main():
         w.start()
     try:
         out["E_host_load"] = measure(PipelineConfig())
+        out["E_host_load_device_chain"] = measure(PipelineConfig(),
+                                                  chain_mode="device")
     finally:
         stop.set()
         for w in workers:

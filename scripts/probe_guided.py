@@ -7,6 +7,11 @@ Prints one JSON line per row. Run alone on the real chip.
 
 from __future__ import annotations
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import json
 import time
 
@@ -24,19 +29,20 @@ def _sync(x):
 
 
 def rate(cfg, batch=48, repeats=5, n_short=8, n_long=60):
+    from bench import _device_chain
+
     pipe = EnhancePipeline(cfg)
     lows, _ = synth_batch(8, 400, 600)
     lows = np.tile(lows, (-(-batch // 8), 1, 1, 1))[:batch]
     dev = jnp.asarray(lows)
-    step = pipe.enhance_batch_device
-    _sync(step(dev))
+    _sync(pipe.enhance_batch_device(dev))
+    fn = pipe._compiled(batch, 400, 600)
+    runs = {n: _device_chain(fn, pipe.model_params, n)
+            for n in (n_short, n_long)}
 
     def chain(n):
         t0 = time.perf_counter()
-        x = dev
-        for _ in range(n):
-            x = step(x)
-        _sync(x)
+        _sync(runs[n](dev))
         return time.perf_counter() - t0
 
     chain(n_short)
