@@ -51,11 +51,31 @@ from low_light_image_enhancement_tpu.kernels.mxu_conv import (
     pack_dense9_weights,
 )
 
-# Band rows per grid step. 8 keeps the full scratch set (rolling buffers
-# for 6 layers + the S assembly chunk + weights) ~11.5 MB at 600-px width.
+# Band-rows cap per grid step; the actual R is VMEM-planned per call.
 _R = 8
 # S-assembly sub-chunk rows: bounds the (c*W2, 9*128) staging buffer.
 _CHUNK = 4
+# Scratch budget for the planner. Empirically bisected on this toolchain:
+# the remote tpu_compile_helper CRASHES (exit 1, no Mosaic diagnostic)
+# when the kernel's scratch set reaches ~12 MB — well under the nominal
+# 16 MB scoped-vmem limit — so plan against 10.5 MB (the full fcn stack
+# compiles and runs at R=4, ~10 MB).
+_VMEM_BUDGET = int(10.5 * 1024 * 1024)
+
+
+def _plan_band_rows(w2: int, lanes: int, lpad: int, steps,
+                    dtype_bytes: int = 2) -> int:
+    """Largest band height R in {cap, ..., 4} whose rolling buffers +
+    S chunk + weights fit the (crash-bisected) scratch budget."""
+    n_weights = len(steps) * 9 * lpad * lanes * dtype_bytes
+    for r in range(_R, 3, -4):
+        buf_rows = (r + 2 * steps[0]) + sum(
+            r + 2 * s for s in list(steps[1:]) + [0])
+        scratch = (buf_rows * w2 * lanes + min(_CHUNK, r) * w2 * 9 * lpad
+                   ) * dtype_bytes + n_weights
+        if scratch <= _VMEM_BUDGET:
+            return r
+    return 4
 
 
 def _cascade_kernel(x_ref, *refs, steps, acts, r, w2, lanes, lpad, n,
@@ -173,7 +193,8 @@ def fcn_cascade_mxu(
         [w.shape for w in packed_ws], lpad, n)
     assert n == lanes, "cascade assumes constant width (fcn stack)"
 
-    r = _R
+    r = _plan_band_rows(w2, lanes, lpad, steps,
+                        jnp.dtype(xp.dtype).itemsize)
     lag = sum(steps)
     nb = -(-(h2 + lag) // r)
     hpad = nb * r
