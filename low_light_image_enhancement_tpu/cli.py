@@ -136,6 +136,7 @@ def cmd_train(args) -> int:
     tcfg = TrainConfig(
         batch_size=args.batch, crop=args.crop, steps=args.steps,
         learning_rate=args.lr, ema_decay=args.ema_decay,
+        denoise_in_loss=args.denoise_in_loss,
     )
     if args.model == "fcn":
         tcfg = dataclasses.replace(tcfg, features=24)
@@ -173,9 +174,9 @@ def cmd_train(args) -> int:
 
         kw["data_factory"] = _data_factory
     if args.model in ("curve", "hybrid"):
-        # --objective paired + --model hybrid is the exact recipe the
-        # shipped curve_cnn.npz / curve_hybrid.npz weights were trained
-        # with (scripts/train_weights.py) — now reachable from the CLI.
+        # --objective paired (+ --denoise-in-loss for hybrid) is the exact
+        # recipe the shipped curve_cnn.npz / curve_hybrid.npz weights were
+        # trained with (scripts/train_weights.py) — reachable from the CLI.
         params, _ = train_curve_cnn(
             tcfg, objective=args.objective, hybrid=args.model == "hybrid",
             **kw,
@@ -387,6 +388,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     )
     p.add_argument("--model", choices=["curve", "hybrid", "fcn", "decom"],
                    default="curve")
+    p.add_argument("--denoise-in-loss", action="store_true",
+                   help="paired loss compares AFTER the pipeline's denoise "
+                        "tail (the shipped hybrid weights' recipe: +0.06 "
+                        "SSIM — docs/PERFORMANCE.md denoise-in-loss section)")
     p.add_argument("--objective", choices=["zeroref", "paired"],
                    default="zeroref",
                    help="curve/hybrid objective; 'paired' is the recipe "

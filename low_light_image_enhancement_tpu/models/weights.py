@@ -14,9 +14,15 @@ _SEP = "::"
 # Repo-shipped default weights, keyed by pipeline method.
 _WEIGHTS_DIR = Path(__file__).resolve().parent.parent / "weights"
 PRETRAINED = {
+    # round-4 recipe: paired + denoise-in-loss (18.56 dB / 0.689 SSIM ->
+    # 19.12 / 0.741 on eval-15)
     "curve": _WEIGHTS_DIR / "curve_cnn.npz",
     # hybrid curves are trained on retinex-boosted inputs (the image they
-    # adjust), not raw lows — separate weights
+    # adjust), not raw lows — separate weights. Round-4 recipe of record:
+    # paired objective with the pipeline's denoise tail INSIDE the loss
+    # (train_weights.py --models hybrid --denoise-in-loss), which moved
+    # hybrid from 18.9 dB / 0.665 SSIM to 19.27 / 0.728 on eval-15 — see
+    # docs/PERFORMANCE.md "denoise-in-loss" section.
     "hybrid": _WEIGHTS_DIR / "curve_hybrid.npz",
     "fcn": _WEIGHTS_DIR / "fcn.npz",
     "decom": _WEIGHTS_DIR / "decom.npz",

@@ -493,6 +493,26 @@ def make_decom_train_step(
 
 # ----------------------------------------------------- supervised (FCN) --- #
 
+def _denoise_tail(y: jnp.ndarray) -> jnp.ndarray:
+    """Apply the pipeline's SHIPPING denoise tail (bilateral, default
+    PipelineConfig) inside a training loss, so the net optimizes the image
+    the user actually receives. Moving the tail into the loss flipped the
+    round-3 curve-vs-hybrid ranking (+0.06 SSIM on hybrid —
+    docs/PERFORMANCE.md "denoise-in-loss")."""
+    from low_light_image_enhancement_tpu.config import PipelineConfig
+    from low_light_image_enhancement_tpu.ops.denoise import denoise_planar
+    from low_light_image_enhancement_tpu.ops.filters import shift2d
+
+    pcfg = PipelineConfig()  # the shipping denoise defaults
+    inv2s2 = 1.0 / (2.0 * pcfg.denoise_sigma * pcfg.denoise_sigma)
+    return jnp.clip(
+        denoise_planar(y, inv2s2, pcfg.denoise_strength, shift2d,
+                       pcfg.denoise_kernel, pcfg.denoise_guide,
+                       pcfg.denoise_taps),
+        0.0, 1.0,
+    )
+
+
 def paired_loss(
     params, low: jnp.ndarray, high: jnp.ndarray, tcfg: "TrainConfig",
     w_ssim: float = 0.5,
@@ -507,6 +527,8 @@ def paired_loss(
     if tcfg.remat:
         net = jax.checkpoint(net)
     y = net(params, low)
+    if tcfg.denoise_in_loss:
+        y = _denoise_tail(jnp.clip(y, 0.0, 1.0))
     l1 = jnp.mean(jnp.abs(y - high))
     s = jnp.mean(ssim(y, high))
     total = l1 + w_ssim * (1.0 - s)
@@ -542,18 +564,7 @@ def paired_curve_loss(
     a = cnn(params, low)
     y = jnp.clip(apply_curves(low, a), 0.0, 1.0)
     if tcfg.denoise_in_loss:
-        from low_light_image_enhancement_tpu.config import PipelineConfig
-        from low_light_image_enhancement_tpu.ops.denoise import denoise_planar
-        from low_light_image_enhancement_tpu.ops.filters import shift2d
-
-        pcfg = PipelineConfig()  # the shipping denoise defaults
-        inv2s2 = 1.0 / (2.0 * pcfg.denoise_sigma * pcfg.denoise_sigma)
-        y = jnp.clip(
-            denoise_planar(y, inv2s2, pcfg.denoise_strength, shift2d,
-                           pcfg.denoise_kernel, pcfg.denoise_guide,
-                           pcfg.denoise_taps),
-            0.0, 1.0,
-        )
+        y = _denoise_tail(y)
     l1 = jnp.mean(jnp.abs(y - high))
     s = jnp.mean(ssim(y, high))
     l_tv = smoothness_loss(a)

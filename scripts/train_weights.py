@@ -35,7 +35,13 @@ def train_curve(steps: int, batch: int, crop: int,
     and writes curve_hybrid.npz.
 
     ``objective``: "paired" (L1+SSIM vs the synthetic GT — the shipped-
-    weights recipe) or "zeroref" (the Zero-DCE config-3 recipe, no GT)."""
+    weights recipe) or "zeroref" (the Zero-DCE config-3 recipe, no GT).
+
+    Shipped-weights recipe of record for hybrid (round 4):
+    ``--models hybrid --steps 10000 --batch 16 --crop 256
+    --denoise-in-loss`` — comparing AFTER the pipeline's denoise tail lets
+    the CNN sharpen through the blur the tail will apply (19.27 dB / 0.728
+    SSIM vs 18.89 / 0.665 without; docs/PERFORMANCE.md)."""
     import jax as _jax
 
     from low_light_image_enhancement_tpu.config import PipelineConfig
@@ -80,7 +86,8 @@ def train_curve(steps: int, batch: int, crop: int,
 
 
 def train_fcn_weights(steps: int, batch: int, crop: int,
-                      features: int = 24) -> dict:
+                      features: int = 24, denoise_in_loss: bool = False,
+                      out_name: str = None) -> dict:
     """Measured width sweep (600x400 bf16, img/s): 8->1633, 16->883,
     24->597, 32->410, 64->446, 128->358 — sub-128 channel counts
     underutilize the MXU, so 64 costs barely more than 32. A trained
@@ -96,7 +103,7 @@ def train_fcn_weights(steps: int, batch: int, crop: int,
     )
 
     tcfg = TrainConfig(features=features, batch_size=batch, crop=crop,
-                       steps=steps)
+                       steps=steps, denoise_in_loss=denoise_in_loss)
     params = init_fcn(jax.random.PRNGKey(0), features=features)
     opt_state = make_optimizer(tcfg).init(params)
     step = make_supervised_train_step(tcfg)
@@ -113,8 +120,9 @@ def train_fcn_weights(steps: int, batch: int, crop: int,
             print(f"fcn step {i+1}/{steps} loss {last:.4f} ssim "
                   f"{float(m['ssim']):.4f} "
                   f"({batch*(i+1)/(time.time()-t0):.0f} img/s)", flush=True)
-    save_params(params, WEIGHTS_DIR / "fcn.npz")
-    return {"model": "fcn", "first_loss": first, "final_loss": last}
+    save_params(params, WEIGHTS_DIR / (out_name or "fcn.npz"))
+    return {"model": "fcn", "denoise_in_loss": denoise_in_loss,
+            "first_loss": first, "final_loss": last}
 
 
 def train_decom_weights(steps: int, batch: int, crop: int) -> dict:
@@ -178,7 +186,9 @@ def main() -> None:
                               out_name=args.out_name),
                   flush=True)
         elif model == "fcn":
-            print(train_fcn_weights(args.steps, args.batch, args.crop),
+            print(train_fcn_weights(args.steps, args.batch, args.crop,
+                                    denoise_in_loss=args.denoise_in_loss,
+                                    out_name=args.out_name),
                   flush=True)
         elif model == "decom":
             print(train_decom_weights(args.steps, args.batch, args.crop),

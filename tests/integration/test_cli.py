@@ -102,14 +102,17 @@ def test_cli_train_all_models_and_objectives(tmp_path):
 
     from low_light_image_enhancement_tpu.models.weights import load_params
 
-    for model, objective in (
-        ("curve", "paired"), ("hybrid", "paired"), ("decom", "zeroref"),
+    for model, objective, extra in (
+        ("curve", "paired", []),
+        # --denoise-in-loss is the shipped hybrid weights' recipe (round 4)
+        ("hybrid", "paired", ["--denoise-in-loss"]),
+        ("decom", "zeroref", []),
     ):
         out = tmp_path / f"{model}.npz"
         assert main([
             "train", "--model", model, "--objective", objective,
             "--batch", "2", "--crop", "32", "--steps", "2",
-            "--save-weights", str(out),
+            "--save-weights", str(out), *extra,
         ]) == 0
         params = load_params(out)
         leaf = next(iter(params.values()))["w"]

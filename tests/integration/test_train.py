@@ -31,6 +31,51 @@ def test_loss_finite_and_components():
         assert float(metrics[k]) >= 0.0
 
 
+def test_denoise_in_loss_applies_shipping_tail():
+    """denoise_in_loss=True (the shipped hybrid/curve recipe, round 4)
+    compares AFTER the pipeline's denoise tail: the loss value must move
+    vs the plain objective, match hand-applying the tail, and stay
+    differentiable — for BOTH the curve and fcn paired losses."""
+    from low_light_image_enhancement_tpu.train import (
+        _denoise_tail,
+        paired_curve_loss,
+        paired_loss,
+    )
+
+    tcfg = _TINY
+    tcfg_dnl = TrainConfig(**{**tcfg.__dict__, "denoise_in_loss": True})
+    low = _batch(tcfg)
+    high = jnp.clip(low * 2.0, 0.0, 1.0)
+
+    params, _ = init_train_state(tcfg)
+    base, _ = paired_curve_loss(params, low, high, tcfg)
+    dnl, _ = paired_curve_loss(params, low, high, tcfg_dnl)
+    assert np.isfinite(float(dnl)) and float(dnl) != float(base)
+    g = jax.grad(lambda p: paired_curve_loss(p, low, high, tcfg_dnl)[0])(
+        params)
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree_util.tree_leaves(g))
+    # hand-applied tail on the plain-enhanced output reproduces the dnl L1
+    from low_light_image_enhancement_tpu.models.curve_cnn import (
+        apply_curve_cnn,
+    )
+    from low_light_image_enhancement_tpu.ops.curves import apply_curves
+
+    a = apply_curve_cnn(params, low, n_iter=tcfg.n_iter)
+    y = _denoise_tail(jnp.clip(apply_curves(low, a), 0.0, 1.0))
+    _, m = paired_curve_loss(params, low, high, tcfg_dnl)
+    np.testing.assert_allclose(float(m["l1"]),
+                               float(jnp.mean(jnp.abs(y - high))),
+                               rtol=2e-4)
+
+    from low_light_image_enhancement_tpu.models.fcn import init_fcn
+
+    fparams = init_fcn(jax.random.PRNGKey(0), features=8)
+    fbase, _ = paired_loss(fparams, low, high, tcfg)
+    fdnl, _ = paired_loss(fparams, low, high, tcfg_dnl)
+    assert np.isfinite(float(fdnl)) and float(fdnl) != float(fbase)
+
+
 def test_train_step_reduces_loss():
     params, opt_state = init_train_state(_TINY)
     step = make_train_step(_TINY)
