@@ -137,6 +137,7 @@ def cmd_train(args) -> int:
         batch_size=args.batch, crop=args.crop, steps=args.steps,
         learning_rate=args.lr, ema_decay=args.ema_decay,
         denoise_in_loss=args.denoise_in_loss,
+        eval_every=args.eval_every, eval_patience=args.eval_patience,
     )
     if args.model == "fcn":
         tcfg = dataclasses.replace(tcfg, features=24)
@@ -144,7 +145,12 @@ def cmd_train(args) -> int:
     jsonl = JSONLLogger(args.log_file) if args.log_file else None
 
     def log_fn(m):
-        logger.info("step %s loss %.4f", m.get("step"), m.get("loss", 0.0))
+        if "eval_score" in m:
+            logger.info("step %s eval_score %.4f", m.get("step"),
+                        m["eval_score"])
+        else:
+            logger.info("step %s loss %.4f", m.get("step"),
+                        m.get("loss", 0.0))
         if jsonl:
             jsonl.log(m)
 
@@ -388,6 +394,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     )
     p.add_argument("--model", choices=["curve", "hybrid", "fcn", "decom"],
                    default="curve")
+    p.add_argument("--eval-every", type=int, default=0,
+                   help="curve/hybrid: score held-out synthetic SSIM every N "
+                        "steps, keep the best snapshot, stop after "
+                        "--eval-patience non-improving evals (0 = off)")
+    p.add_argument("--eval-patience", type=int, default=3)
     p.add_argument("--denoise-in-loss", action="store_true",
                    help="paired loss compares AFTER the pipeline's denoise "
                         "tail (the shipped hybrid weights' recipe: +0.06 "

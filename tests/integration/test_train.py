@@ -76,6 +76,43 @@ def test_denoise_in_loss_applies_shipping_tail():
     assert np.isfinite(float(fdnl)) and float(fdnl) != float(fbase)
 
 
+def test_eval_early_stop_returns_best_snapshot():
+    """eval_every>0 + eval_fn: the loop stops after eval_patience
+    non-improving evals and returns the BEST-scoring params, not the
+    last (VERDICT r3 weak #4 — the zero-ref 600-step stop, mechanized)."""
+    from low_light_image_enhancement_tpu.train import train_curve_cnn
+
+    tcfg = TrainConfig(**{**_TINY.__dict__, "steps": 40, "eval_every": 5,
+                          "eval_patience": 2})
+    calls = []
+    # scripted metric: improves for 3 evals, then degrades forever
+    scores = [0.1, 0.2, 0.3, 0.25, 0.2, 0.15, 0.1, 0.05]
+
+    def fake_eval(params):
+        calls.append(jax.tree_util.tree_map(np.asarray, params))
+        return scores[len(calls) - 1]
+
+    params, history = train_curve_cnn(tcfg, eval_fn=fake_eval)
+    # stopped after the 5th eval (patience 2 past the peak at #3): 25 steps
+    assert len(calls) == 5, len(calls)
+    evals = [h for h in history if "eval_score" in h]
+    assert [e["eval_score"] for e in evals] == scores[:5]
+    # returned params are the peak-score snapshot (eval #3), not the last
+    best = calls[2]
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(best)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_zeroref_denoise_in_loss_changes_objective():
+    tcfg_dnl = TrainConfig(**{**_TINY.__dict__, "denoise_in_loss": True})
+    params, _ = init_train_state(_TINY)
+    batch = _batch(_TINY)
+    base, _ = zero_reference_loss(params, batch, _TINY)
+    dnl, _ = zero_reference_loss(params, batch, tcfg_dnl)
+    assert np.isfinite(float(dnl)) and float(dnl) != float(base)
+
+
 def test_train_step_reduces_loss():
     params, opt_state = init_train_state(_TINY)
     step = make_train_step(_TINY)

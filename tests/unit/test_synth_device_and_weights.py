@@ -68,3 +68,29 @@ def test_load_pretrained_missing_returns_none(monkeypatch, tmp_path):
     monkeypatch.setitem(PRETRAINED, "fcn", tmp_path / "nope.npz")
     assert load_pretrained("fcn") is None
     assert load_pretrained("unknown-method") is None
+
+
+def test_all_shipped_weight_paths_live_in_the_package():
+    """Regression for the round-3 zeroref ship bug: the re-swept winner was
+    committed to a stray top-level weights/ dir while NAMED['zeroref'] kept
+    loading a stale package file. Every shipped name must resolve to an
+    EXISTING .npz inside the package weights dir, and no stray repo-root
+    weights/ dir may shadow it."""
+    from pathlib import Path
+
+    from low_light_image_enhancement_tpu.models.weights import (
+        _WEIGHTS_DIR,
+        NAMED,
+    )
+
+    pkg_root = Path(_WEIGHTS_DIR).resolve().parent
+    assert pkg_root.name == "low_light_image_enhancement_tpu"
+    for name, path in NAMED.items():
+        p = Path(path).resolve()
+        assert p.parent == Path(_WEIGHTS_DIR).resolve(), (name, p)
+        assert p.exists(), f"shipped weights missing: {name} -> {p}"
+        load_params(p)  # loads and parses
+    repo_root = pkg_root.parent
+    assert not (repo_root / "weights").exists(), (
+        "stray repo-root weights/ dir shadows the package weights"
+    )
