@@ -152,6 +152,14 @@ def bench_throughput(
 
 
 def main() -> None:
+    # Persistent compile cache: repeat bench invocations skip the ~minutes
+    # of XLA/Mosaic compiles. Timing is unaffected — the marginal-rate
+    # protocol never includes compile time.
+    from low_light_image_enhancement_tpu.utils.compile_cache import (
+        enable_compile_cache,
+    )
+
+    enable_compile_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch", type=int, default=48)
     parser.add_argument("--repeats", type=int, default=7)

@@ -358,6 +358,15 @@ def _cmd_video_streams(args, decode_image, encode_image) -> int:
 
 
 def main(argv: Optional[List[str]] = None) -> int:
+    # Every CLI process after the first loads compiled executables from the
+    # persistent cache instead of re-paying XLA/Mosaic compiles (measured
+    # 43 s -> 0.6 s per program cross-process). LLIE_COMPILE_CACHE=0
+    # disables; a path overrides ~/.cache/llie/xla.
+    from low_light_image_enhancement_tpu.utils.compile_cache import (
+        enable_compile_cache,
+    )
+
+    enable_compile_cache()
     parser = argparse.ArgumentParser(
         prog="llie", description="TPU-native low-light image enhancement"
     )
