@@ -465,10 +465,15 @@ def enhance_learned_block(
 
         wb = xb.shape[-1]
         # luma guide holds 3 channels + guide + accumulators live at once;
-        # the guided tail holds stats/a/b planes on top
+        # the guided tail holds stats/a/b planes on top (radius-dependent:
+        # the flat +32 model OOM'd Mosaic's scoped vmem at r=4, round 4)
+        from low_light_image_enhancement_tpu.kernels.fused_enhance import (
+            guided_tail_bytes_per_px,
+        )
+
         dn_bpp = 72 if cfg.denoise_guide == "luma" else 40
         if cfg.denoise_taps == "guided":
-            dn_bpp += 32
+            dn_bpp += guided_tail_bytes_per_px(cfg.guided_radius)
         plan = plan_stripes(rows, wb - 2 * m, m, cfg.stripe_rows,
                             bytes_per_px=dn_bpp)
         sub = y[..., halo - m : halo + rows + m, :]
@@ -535,7 +540,8 @@ def _fused_curve_tail(
         rows, wb - 2 * m, m, cfg.stripe_rows,
         bytes_per_px=curve_plan_bytes_per_px(cfg.curve_iters, ds,
                                              cfg.denoise_guide,
-                                             cfg.denoise_taps),
+                                             cfg.denoise_taps,
+                                             cfg.guided_radius),
     )
     sub = xb[..., halo - m : halo + rows + m, :]
     extra = plan.padded_h - (rows + 2 * m)

@@ -129,7 +129,11 @@ class PipelineConfig:
     guided_radius: int = 2          # box radius of the guided tail (only
                                     # read when denoise_taps="guided");
                                     # receptive radius is 2x this
-    guided_eps: float = 3e-3        # guided-filter edge/flat variance
+    # Guided-filter edge/flat variance threshold. 1e-2 measured better than
+    # 3e-3 on EVERY method at both radii (retinex r=2 SSIM 0.599 -> 0.636,
+    # decom 0.889 -> 0.892; docs/PERFORMANCE.md guided table) — round 4
+    # default change.
+    guided_eps: float = 1e-2
                                     # threshold (guide is in [0, 1])
     denoise_guide: str = "luma"     # "luma" (default): joint bilateral
                                     # guided by the channel-mean luminance —

@@ -396,6 +396,18 @@ def fused_retinex_ema(
     return merge_stripes(out, plan), merge_stripes(lmix, plan)[:, 0]
 
 
+def guided_tail_bytes_per_px(radius: int) -> int:
+    """Resident VMEM bytes/pixel the in-kernel guided tail adds on top of a
+    base kernel, for stripe planning. At r=2 the stats + per-channel a/b
+    planes budget 32 B/px (8 f32 planes, validated by every r=2 config
+    compiling within plan). Larger radii keep more live roll temporaries in
+    the box-mean cascades: the decom-path Mosaic scoped peak measured
+    127.9 B/px at r=4 where the flat +32 model planned 104 (a 16.86 MB
+    scoped-vmem OOM, round 4) — anchor the slope at +12 B/px per radius
+    step past 2."""
+    return 32 + max(0, radius - 2) * 12
+
+
 def retinex_plan_bytes_per_px(cfg: PipelineConfig) -> int:
     """Resident VMEM bytes/pixel of the retinex kernel for stripe sizing.
     The per-channel bilateral streams one channel at a time (~37 B/px
@@ -403,17 +415,18 @@ def retinex_plan_bytes_per_px(cfg: PipelineConfig) -> int:
     must hold all 3 boosted channels + the guide + 3 accumulators + the
     weight plane live at once (~110 B/px measured from the Mosaic scoped
     peak: 28.7 MB over a 408x640 stripe). The guided tail additionally
-    keeps the guide stats and per-channel a/b planes live (~8 extra f32
-    planes budgeted)."""
+    keeps the guide stats and per-channel a/b planes live
+    (radius-dependent — ``guided_tail_bytes_per_px``)."""
     base = 120 if cfg.denoise_guide == "luma" else 40
     if cfg.denoise_taps == "guided":
-        base += 32
+        base += guided_tail_bytes_per_px(cfg.guided_radius)
     return base
 
 
 def curve_plan_bytes_per_px(n_iter: int, ds: int = 1,
                             guide: str = "perchannel",
-                            taps: str = "sep") -> int:
+                            taps: str = "sep",
+                            guided_radius: int = 2) -> int:
     """Resident VMEM bytes/pixel of the curve kernel for stripe sizing:
     n_iter*3 f32 map planes (1/ds rows when downsampled) + u8 in/out +
     working set. Mosaic's scoped-stack peak measured ~213 B/px for the
@@ -427,9 +440,11 @@ def curve_plan_bytes_per_px(n_iter: int, ds: int = 1,
     # full-res temporaries the upsample keeps live.
     base = n_iter * 3 * 4 // (ds * ds) + (150 if ds == 1 else 216)
     # luma guide additionally holds all 3 curve outputs + guide + accs live;
-    # the guided tail its stats and a/b planes
+    # the guided tail its stats and a/b planes (radius-dependent)
     base += 48 if guide == "luma" else 0
-    return base + (32 if taps == "guided" else 0)
+    if taps == "guided":
+        base += guided_tail_bytes_per_px(guided_radius)
+    return base
 
 
 def fused_retinex(

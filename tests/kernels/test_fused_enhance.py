@@ -116,3 +116,28 @@ def test_plan_stripes_raises_when_no_stripe_fits_vmem():
                       bytes_per_px=curve_plan_bytes_per_px(8, 4,
                                                            "perchannel"))
     assert ok.n_stripes >= 1
+
+
+def test_guided_bytes_per_px_scales_with_radius():
+    """Regression for the round-4 scoped-vmem OOM: a flat +32 B/px guided
+    term planned 200-row stripes for the decom path at guided_radius=4
+    whose Mosaic scoped peak measured 16.86 MB (127.9 B/px) — past the
+    16 MB hard limit. The guided term must grow with radius, and the
+    planned stripe bytes at the MEASURED r=4 footprint must stay under
+    the limit."""
+    from low_light_image_enhancement_tpu.kernels.fused_enhance import (
+        guided_tail_bytes_per_px,
+    )
+
+    assert guided_tail_bytes_per_px(2) == 32
+    assert guided_tail_bytes_per_px(4) > guided_tail_bytes_per_px(2)
+    # the decom denoise-stage model at r=4 (blocks.py dn_bpp): luma 72 +
+    # radius-dependent guided term must cover the measured 128 B/px
+    dn_bpp_r4 = 72 + guided_tail_bytes_per_px(4)
+    assert dn_bpp_r4 >= 128, dn_bpp_r4
+    # and the plan it produces keeps the MEASURED footprint under 16 MB
+    # (600x400 canvas, margin 8 as in the failing config)
+    plan = plan_stripes(400, 600, 8, 1024, bytes_per_px=dn_bpp_r4)
+    measured_bpp = 128
+    stripe_bytes = measured_bpp * (plan.stripe_rows + 16) * plan.padded_w
+    assert stripe_bytes < 16 * 1024 * 1024, (plan, stripe_bytes)
