@@ -291,4 +291,14 @@ PRESETS = {
     "config5_4k_sharded": PipelineConfig(
         method="retinex", use_pallas=True, spatial_shards=8
     ),
+    # Measured quality frontier (round 4): decomposition head + in-kernel
+    # guided tail at radius 4 — 19.73 dB / 0.918 SSIM / dE 18.6 on eval-15
+    # at 1,311 img/s b48 (docs/PERFORMANCE.md guided table). The
+    # throughput pick stays the default retinex pipeline.
+    "quality": PipelineConfig(
+        method="decom", denoise_taps="guided", guided_radius=4
+    ),
+    # Fastest learned path that still beats every classical metric:
+    # supervised FCN with the default bilateral tail (18.8 dB / 0.89).
+    "quality_fast": PipelineConfig(method="fcn"),
 }

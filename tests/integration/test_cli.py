@@ -237,3 +237,29 @@ def test_cli_train_data_dir_resume_offsets_stream(tmp_path):
               "--data-dir", str(root), "--checkpoint-dir", str(ck)]
     assert main(common + ["--steps", "1"]) == 0
     assert main(common + ["--steps", "2", "--resume"]) == 0
+
+
+def test_cli_enhance_presets(tmp_path):
+    """Every named preset drives `llie enhance` end-to-end (the `quality`
+    preset is the round-4 measured frontier: decom + guided r=4)."""
+    import numpy as np
+
+    from low_light_image_enhancement_tpu.config import PRESETS
+    from low_light_image_enhancement_tpu.data.synth import synth_pair
+    from low_light_image_enhancement_tpu.io.codec import (
+        decode_image,
+        encode_image,
+    )
+
+    low, _ = synth_pair(0, 48, 64)
+    src = tmp_path / "in.png"
+    encode_image(low, src)
+    for preset in PRESETS:
+        if "shard" in preset:
+            continue  # needs a device mesh; covered by tests/parallel
+        out = tmp_path / f"{preset}.png"
+        assert main(["enhance", str(src), str(out), "--preset", preset,
+                     "--no-pallas"]) == 0
+        img = decode_image(out)
+        assert img.shape == low.shape
+        assert img.mean() > low.mean()  # enhanced = brighter on this fixture
