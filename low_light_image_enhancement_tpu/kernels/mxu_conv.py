@@ -19,7 +19,7 @@ big-K GEMM on space-to-depth packed activations:
   conv math — and buy a kernel with zero VPU lane shuffling whose single
   K=1152 dot lets the MXU accumulate across K tiles internally (measured
   ~100 TF/s dense vs ~50 for sub-width-assembled forms and ~8-19 total for
-  XLA's conv, scripts/probe_mxu_gemm*.py).
+  XLA's conv, scripts/probe_mxu_gemm.py --probe 1..6).
 - Even dilations (the fcn stack) use the same kernel with block shifts of
   d/2 and phase-PRESERVING weight structure (taps at +-d keep pixel
   parity), so one kernel serves every layer of every model family.
