@@ -85,11 +85,45 @@ def _model_params(args):
     return resolve_weights(args.weights)
 
 
+def _load_raw_mosaic(path: str):
+    """Load a (H, W) Bayer mosaic: .npy (u8/u16/float) or a single-channel
+    image file (16-bit PNG/PGM load as u16 via PIL mode I/I;16)."""
+    import numpy as np
+
+    if path.endswith(".npy"):
+        return np.load(path)
+    from PIL import Image
+
+    img = Image.open(path)
+    if img.mode not in ("L", "I", "I;16"):
+        raise ValueError(
+            f"--raw expects a single-channel mosaic, got mode {img.mode!r} "
+            f"from {path}; use a .npy, 16-bit PNG, or PGM file"
+        )
+    arr = np.asarray(img)
+    if arr.dtype == np.int32:  # PIL mode "I" -> int32; 16-bit data in range
+        arr = arr.astype(np.uint16)
+    return arr
+
+
 def cmd_enhance(args) -> int:
     from low_light_image_enhancement_tpu.pipeline import EnhancePipeline
 
     pipe = EnhancePipeline(_build_config(args), model_params=_model_params(args))
-    pipe.enhance_file(args.input, args.output)
+    if args.raw:
+        from low_light_image_enhancement_tpu.io.codec import encode_image
+
+        wb = None
+        if args.wb_gains:
+            wb = tuple(float(g) for g in args.wb_gains.split(","))
+            if len(wb) != 3:
+                raise ValueError("--wb-gains wants three comma-separated "
+                                 f"values, got {args.wb_gains!r}")
+        out = pipe.enhance_raw(_load_raw_mosaic(args.input), wb_gains=wb,
+                               white_level=args.white_level)
+        encode_image(out, args.output)
+    else:
+        pipe.enhance_file(args.input, args.output)
     print(f"wrote {args.output}")
     return 0
 
@@ -375,6 +409,16 @@ def main(argv: Optional[List[str]] = None) -> int:
     p = sub.add_parser("enhance", help="enhance one image file")
     p.add_argument("input")
     p.add_argument("output")
+    p.add_argument("--raw", action="store_true",
+                   help="input is a RGGB Bayer mosaic (.npy, 16-bit PNG, or "
+                        "PGM); runs the on-device ISP (demosaic/WB/CCM) "
+                        "fused ahead of the enhancement graph")
+    p.add_argument("--wb-gains", default=None, metavar="R,G,B",
+                   help="white-balance gains for --raw (default: per-image "
+                        "gray-world)")
+    p.add_argument("--white-level", type=float, default=None,
+                   help="full-scale mosaic value for --raw uint16 input "
+                        "(e.g. 4095 for 12-bit sensors; default 65535)")
     _add_config_args(p)
     p.set_defaults(fn=cmd_enhance)
 

@@ -406,6 +406,148 @@ class EnhancePipeline:
 
         encode_image(self.enhance(decode_image(in_path)), out_path)
 
+    # ------------------------------------------------------------------ #
+    # RAW (Bayer) ingest: ISP front-end fused into the enhance graph
+    # ------------------------------------------------------------------ #
+
+    def _compiled_raw(self, b: int, h: int, w: int, wb_gains, ccm,
+                      raw_gamma: float):
+        """One jit per (shape, ISP constants): raw mosaic -> ISP -> the
+        standard u8 enhance body, a single device program (the intermediate
+        planar->HWC->planar transpose pair cancels in XLA's simplifier)."""
+        key = ("raw", b, h, w, wb_gains, ccm, raw_gamma)
+        fn = self._cache.get(key)
+        if fn is None:
+            from low_light_image_enhancement_tpu.kernels.fused_enhance import (
+                retinex_plan_bytes_per_px,
+            )
+            from low_light_image_enhancement_tpu.ops.isp import raw_to_srgb
+
+            with self._cache_lock:
+                fn = self._cache.get(key)
+                if fn is not None:
+                    return fn
+                plan = plan_stripes(
+                    h, w, canvas_margin(self.config),
+                    self.config.stripe_rows,
+                    bytes_per_px=retinex_plan_bytes_per_px(self.config),
+                )
+                enhance_body = functools.partial(
+                    _enhance_u8_batch,
+                    cfg=self.config,
+                    plan=plan,
+                    use_pallas=self._use_pallas,
+                    pallas_interpret=self._pallas_interpret,
+                )
+
+                def run(raws, model_params):
+                    # Reflect-pad 2 px per side before the demosaic: the
+                    # roll-based interpolation wraps at edges, and reflection
+                    # preserves Bayer phase (position -k mirrors +k, same
+                    # parity), so the crop afterwards gives exact borders.
+                    rp = jnp.pad(raws, ((0, 0), (2, 2), (2, 2)),
+                                 mode="reflect")
+                    rgb = raw_to_srgb(
+                        rp, wb_gains=wb_gains, ccm=ccm, gamma=raw_gamma,
+                    )[..., 2:-2, 2:-2]
+                    imgs_u8 = jnp.transpose(quantize_u8(rgb), (0, 2, 3, 1))
+                    return enhance_body(imgs_u8, model_params)
+
+                fn = jax.jit(run)
+                self._cache[key] = fn
+        return fn
+
+    def enhance_raw_batch(
+        self,
+        raws,
+        wb_gains=None,
+        ccm=None,
+        raw_gamma: float = 1.0 / 2.2,
+        white_level: Optional[float] = None,
+    ) -> np.ndarray:
+        """(B, H, W) RGGB Bayer mosaics -> (B, H, W, 3) u8 enhanced.
+
+        The ISP front-end (bilinear demosaic, white balance, CCM, display
+        gamma — ``ops.isp``, RAW->sRGB per PAPERS.md:5,7) runs on device in
+        the SAME compiled program as the enhancement graph, so RAW captures
+        pay one dispatch, not two.
+
+        Args:
+          raws: uint16 (scaled by ``white_level``, default 65535), uint8
+            (/255), or float in [0, 1]. H and W must be even (RGGB tiling).
+          wb_gains: (3,) per-channel gains; None -> per-image gray-world
+            gains computed on device.
+          ccm: 3x3 color-correction matrix; None -> ``ops.isp.DEFAULT_CCM``.
+          raw_gamma: display gamma applied after the CCM (1.0 disables).
+          white_level: override the uint16 full-scale value (e.g. 4095 for
+            12-bit sensors stored in u16).
+        """
+        from low_light_image_enhancement_tpu.ops.isp import DEFAULT_CCM
+
+        raws = np.asarray(raws)
+        if raws.ndim != 3:
+            raise ValueError(f"expected (B, H, W) Bayer mosaics, "
+                             f"got {raws.shape}")
+        b, h, w = raws.shape
+        if h % 2 or w % 2:
+            raise ValueError(f"RGGB mosaic needs even H and W, got {h}x{w}")
+        if raws.dtype == np.uint16:
+            scale = float(white_level) if white_level else 65535.0
+            raws = raws.astype(np.float32) / scale
+        elif raws.dtype == np.uint8:
+            raws = raws.astype(np.float32) / 255.0
+        else:
+            raws = np.clip(raws.astype(np.float32), 0.0, 1.0)
+        wb_key = None if wb_gains is None else tuple(
+            float(g) for g in np.asarray(wb_gains).reshape(-1)
+        )
+        ccm_key = tuple(
+            tuple(float(v) for v in row)
+            for row in np.asarray(DEFAULT_CCM if ccm is None else ccm)
+        )
+        if self.config.spatial_shards > 1 or self.config.data_shards > 1:
+            # Sharded configs keep their own dispatch (halo exchange / batch
+            # placement): run the ISP stage as its own small program, then
+            # route the u8 result through the standard sharded entry point.
+            srgb = self._compiled_isp(b, h, w, wb_key, ccm_key,
+                                      float(raw_gamma))(jnp.asarray(raws))
+            return self.enhance_batch(np.asarray(srgb))
+        fn = self._compiled_raw(b, h, w, wb_key, ccm_key, float(raw_gamma))
+        return np.asarray(fn(jnp.asarray(raws), self.model_params))
+
+    def _compiled_isp(self, b: int, h: int, w: int, wb_gains, ccm,
+                      raw_gamma: float):
+        """ISP-only program: (B, H, W) f32 mosaic -> (B, H, W, 3) u8 sRGB."""
+        key = ("isp", b, h, w, wb_gains, ccm, raw_gamma)
+        fn = self._cache.get(key)
+        if fn is None:
+            from low_light_image_enhancement_tpu.ops.isp import raw_to_srgb
+
+            with self._cache_lock:
+                fn = self._cache.get(key)
+                if fn is not None:
+                    return fn
+
+                def run(raws):
+                    rp = jnp.pad(raws, ((0, 0), (2, 2), (2, 2)),
+                                 mode="reflect")
+                    rgb = raw_to_srgb(
+                        rp, wb_gains=wb_gains, ccm=ccm, gamma=raw_gamma,
+                    )[..., 2:-2, 2:-2]
+                    return jnp.transpose(quantize_u8(rgb), (0, 2, 3, 1))
+
+                fn = jax.jit(run)
+                self._cache[key] = fn
+        return fn
+
+    def enhance_raw(self, raw, **kwargs) -> np.ndarray:
+        """(H, W) RGGB Bayer mosaic -> (H, W, 3) u8 enhanced RGB.
+        See ``enhance_raw_batch`` for dtype/kwarg semantics."""
+        raw = np.asarray(raw)
+        if raw.ndim != 2:
+            raise ValueError(f"expected (H, W) Bayer mosaic, got {raw.shape}")
+        return self.enhance_raw_batch(raw[None], **kwargs)[0]
+
 
 # ---------------------------------------------------------------------- #
 # Module-level convenience API (BASELINE.json: "enhance(image)->image")
