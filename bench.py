@@ -129,12 +129,56 @@ def bench_throughput(
             # bad repeat can't leave rates empty -> NaN median
             rates.append(batch * n_long / max(t_long, 1e-9))
     value = float(np.median(rates))
+
+    # Layout-persistent canvas rate (VERDICT r4 item 2): the device program
+    # is the fused kernel alone — host prefetch workers own the
+    # transpose/pad/crop boundary (pipeline.enhance_batch_device_canvas).
+    # Chained the same way (out-canvas -> 8-row edge re-pad -> in-canvas, a
+    # ~2% pad being the only non-kernel op). Reported alongside the
+    # headline, which keeps the honest u8-HWC-boundary contract.
+    canvas_value = None
+    if chain == "device" and method == "retinex" and pipe._use_pallas:
+        from low_light_image_enhancement_tpu.kernels.fused_enhance import (
+            fused_retinex,
+        )
+
+        plan = pipe.canvas_plan(h, w)
+        cfg_c = pipe.config
+
+        def canvas_step(v):
+            vp = jnp.pad(
+                v, ((0, 0), (0, 0), (0, plan.padded_h - v.shape[-2]),
+                    (0, 0)), mode="edge",
+            )
+            return fused_retinex(vp, cfg_c, plan)
+
+        x0 = canvas_step(jnp.asarray(pipe.stage_canvas(lows, plan)))
+        run_cs = _device_chain(lambda v, _p: canvas_step(v), None, n_short)
+        run_cl = _device_chain(lambda v, _p: canvas_step(v), None, n_long)
+        _sync(run_cs(x0))
+        _sync(run_cl(x0))
+        c_rates = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            _sync(run_cs(x0))
+            ts = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            _sync(run_cl(x0))
+            tl = time.perf_counter() - t0
+            marginal = (tl - ts) / (n_long - n_short)
+            c_rates.append(batch / marginal if marginal > 0
+                           else batch * n_long / max(tl, 1e-9))
+        canvas_value = float(np.median(c_rates))
+
     from low_light_image_enhancement_tpu.utils.roofline import (
         roofline_report,
     )
 
     res = {
         "images_per_sec": value,
+        "canvas_images_per_sec": (
+            round(canvas_value, 1) if canvas_value else None
+        ),
         "rate_min": float(np.min(rates)),
         "rate_max": float(np.max(rates)),
         "rate_iqr_pct": float(
@@ -216,6 +260,7 @@ def main() -> None:
                 "max": round(res["rate_max"], 2),
                 "iqr_pct": round(res["rate_iqr_pct"], 2),
                 "n_repeats": len(res["rates"]),
+                "canvas_images_per_sec": res["canvas_images_per_sec"],
                 "achieved_hbm_gbps": res["achieved_hbm_gbps"],
                 "achieved_mxu_tflops": res["achieved_mxu_tflops"],
                 "hbm_util_pct": res["hbm_util_pct"],

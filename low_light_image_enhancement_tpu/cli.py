@@ -86,12 +86,27 @@ def _model_params(args):
 
 
 def _load_raw_mosaic(path: str):
-    """Load a (H, W) Bayer mosaic: .npy (u8/u16/float) or a single-channel
-    image file (16-bit PNG/PGM load as u16 via PIL mode I/I;16)."""
+    """Load a (H, W) Bayer mosaic: .npy (u8/u16/float, or non-negative
+    16-bit-range int16/int32 — common RAW container dtypes, converted to
+    u16) or a single-channel image file (16-bit PNG/PGM load as u16 via
+    PIL mode I/I;16)."""
     import numpy as np
 
     if path.endswith(".npy"):
-        return np.load(path)
+        arr = np.load(path)
+        if np.issubdtype(arr.dtype, np.signedinteger):
+            # int16/int32 containers hold u16 sensor DNs; convert when the
+            # values fit, reject otherwise — letting them fall through to
+            # enhance_raw's float branch would clip DNs to [0, 1] and
+            # produce a saturated all-white result (ADVICE r4, medium).
+            if arr.size and (arr.min() < 0 or arr.max() > 65535):
+                raise ValueError(
+                    f"--raw .npy {path} has {arr.dtype} values outside "
+                    f"[0, 65535] ({arr.min()}..{arr.max()}); convert to "
+                    "uint16 (with the sensor's white level) first"
+                )
+            arr = arr.astype(np.uint16)
+        return arr
     from PIL import Image
 
     img = Image.open(path)
@@ -106,6 +121,24 @@ def _load_raw_mosaic(path: str):
     return arr
 
 
+def _wb_gains_arg(s: str):
+    """argparse type for --wb-gains: 'R,G,B' floats -> (r, g, b), with a
+    clean parser error (not a traceback) on malformed input (ADVICE r4)."""
+    parts = s.split(",")
+    try:
+        vals = tuple(float(g) for g in parts)
+    except ValueError:
+        raise argparse.ArgumentTypeError(
+            f"--wb-gains wants three comma-separated numbers, got {s!r}"
+        )
+    if len(vals) != 3:
+        raise argparse.ArgumentTypeError(
+            f"--wb-gains wants exactly three values (R,G,B), got "
+            f"{len(vals)} in {s!r}"
+        )
+    return vals
+
+
 def cmd_enhance(args) -> int:
     from low_light_image_enhancement_tpu.pipeline import EnhancePipeline
 
@@ -113,13 +146,8 @@ def cmd_enhance(args) -> int:
     if args.raw:
         from low_light_image_enhancement_tpu.io.codec import encode_image
 
-        wb = None
-        if args.wb_gains:
-            wb = tuple(float(g) for g in args.wb_gains.split(","))
-            if len(wb) != 3:
-                raise ValueError("--wb-gains wants three comma-separated "
-                                 f"values, got {args.wb_gains!r}")
-        out = pipe.enhance_raw(_load_raw_mosaic(args.input), wb_gains=wb,
+        out = pipe.enhance_raw(_load_raw_mosaic(args.input),
+                               wb_gains=args.wb_gains,
                                white_level=args.white_level)
         encode_image(out, args.output)
     else:
@@ -414,6 +442,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                         "PGM); runs the on-device ISP (demosaic/WB/CCM) "
                         "fused ahead of the enhancement graph")
     p.add_argument("--wb-gains", default=None, metavar="R,G,B",
+                   type=_wb_gains_arg,
                    help="white-balance gains for --raw (default: per-image "
                         "gray-world)")
     p.add_argument("--white-level", type=float, default=None,

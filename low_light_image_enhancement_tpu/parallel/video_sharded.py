@@ -56,13 +56,14 @@ class SpatialShardedVideoEnhancer(_VideoBase):
                  alpha: float = 0.3,
                  model_params: Optional[Dict[str, Any]] = None,
                  force_jnp: bool = False,
-                 pallas_interpret: bool = False):
+                 pallas_interpret: bool = False,
+                 ema_in_kernel: Optional[bool] = None):
         if "spatial" not in mesh.axis_names:
             raise ValueError(
                 f"mesh needs a 'spatial' axis, has {mesh.axis_names}")
         self.mesh = mesh
         self._init_common(config, alpha, model_params, force_jnp,
-                          pallas_interpret)
+                          pallas_interpret, ema_in_kernel=ema_in_kernel)
 
     # reset() and carry_bytes come from _VideoBase: _carry_shape here is the
     # full (n_shards, ...) stack incl. the per-shard halo overlap rows.
@@ -107,6 +108,7 @@ class SpatialShardedVideoEnhancer(_VideoBase):
             (flag2, carry2), y = video_step(
                 (flag, carry_l[0]), xb, cfg, alpha, params, h, w,
                 use_pallas=use_pallas, interpret=interp, row0=row0,
+                ema_in_kernel=self.ema_in_kernel,
             )
             return flag2, carry2[None], y
 

@@ -20,9 +20,20 @@ Conventions (stated once, used everywhere):
   headroom round over round.
 
 Peaks (TPU v5e, public figures): 197 bf16 TFLOP/s (MXU), 819 GB/s HBM.
-The VPU peak is not published; the estimate below is lanes x sublanes x
-ALUs x FMA x clock = 128 * 8 * 4 * 2 * 1.67e9 ~= 13.7 TFLOP/s, labeled an
-estimate wherever it is reported.
+The VPU peak is not published. Round 4 carried a back-of-envelope
+lanes x sublanes x ALUs x FMA x clock = 128 * 8 * 4 * 2 * 1.67e9
+~= 13.7 TFLOP/s estimate; round 5 MEASURED it
+(``scripts/probe_vpu_peak.py``: 8 independent register-resident FMA
+chains over an (8, 256) f32 block — the swept optimum; larger blocks or
+more chains spill accumulators to VMEM and decay the probe into a
+bandwidth measurement): **3.5 TF/s f32 FMA** on this chip, consistent
+with one (8, 128)-lane FMA issue per ~1.7 GHz cycle
+(8*128*2*1.72e9 = 3.52 TF/s) — the extra ALUs of the 13.7 guess do not
+co-issue FMAs. The same probe puts exp at ~640 G/s (~2.7 issue slots
+each, so the 8-FLOPs-per-transcendental convention slightly OVERcounts,
+keeping utilization fractions conservative). bf16 FMA measures SLOWER
+(1.34 TF/s — conversion-bound), so f32 is the right VPU peak for the
+per-pixel math.
 """
 
 from __future__ import annotations
@@ -33,7 +44,9 @@ from low_light_image_enhancement_tpu.config import PipelineConfig
 
 V5E_MXU_BF16_TFLOPS = 197.0
 V5E_HBM_GBPS = 819.0
-V5E_VPU_TFLOPS_EST = 13.7
+# Measured on-chip (scripts/probe_vpu_peak.py, round 5) — see module
+# docstring. The pre-r5 13.7 TF/s estimate understated VPU utilization 3.9x.
+V5E_VPU_TFLOPS_MEAS = 3.5
 
 _TRANSCENDENTAL = 8  # FLOPs per exp/log/sigmoid, by convention
 
@@ -148,7 +161,7 @@ def roofline_report(cfg: PipelineConfig, h: int, w: int,
     gbps = c.hbm_bytes * images_per_sec / 1e9
     fracs = {
         "MXU": mxu_tf / V5E_MXU_BF16_TFLOPS,
-        "VPU": vpu_tf / V5E_VPU_TFLOPS_EST,
+        "VPU": vpu_tf / V5E_VPU_TFLOPS_MEAS,
         "HBM": gbps / V5E_HBM_GBPS,
     }
     bound = max(fracs, key=fracs.get)
@@ -160,7 +173,11 @@ def roofline_report(cfg: PipelineConfig, h: int, w: int,
         "achieved_vpu_tflops_conv": round(vpu_tf, 3),
         "achieved_hbm_gbps": round(gbps, 2),
         "mxu_util_pct": round(100 * fracs["MXU"], 2),
+        # key name kept from r4 for driver-JSON continuity; the denominator
+        # is now the MEASURED 3.5 TF/s peak (see vpu_peak_tflops), not the
+        # retired 13.7 estimate
         "vpu_util_pct_est": round(100 * fracs["VPU"], 2),
+        "vpu_peak_tflops": V5E_VPU_TFLOPS_MEAS,
         "hbm_util_pct": round(100 * fracs["HBM"], 2),
         "roofline_bound": bound,
     }

@@ -66,14 +66,13 @@ State = Tuple[jnp.ndarray, jnp.ndarray]  # (initialized flag, EMA carry)
 
 _VIDEO_METHODS = ("retinex", "hybrid", "curve")
 
-# Default for video_step's ema_in_kernel=None: route the retinex step
-# through the fully-fused EMA kernel (True) or the ext_gain seam (False).
-# Module-level so the A/B bench can flip it without threading a parameter
-# through every enhancer class. NOTE: the flag is read at TRACE time inside
-# video_step — set it BEFORE an enhancer's first process() call (which jits
-# the step); flipping it afterwards has no effect, the jitted step never
-# retraces (A/B runs build one enhancer per setting).
-EMA_IN_KERNEL = True
+# video_step's ema_in_kernel=None resolves to this default: route the
+# retinex step through the fully-fused EMA kernel. The enhancer classes
+# expose it as a constructor field (``ema_in_kernel=``) — per VERDICT r4
+# item 7 the old module-level mutable flag (read at trace time, a footgun
+# when flipped after the first process() call) is retired; the A/B bench
+# builds one enhancer per setting via the constructor.
+_EMA_IN_KERNEL_DEFAULT = True
 
 
 def _bcast_flag(flag: jnp.ndarray, like: jnp.ndarray) -> jnp.ndarray:
@@ -264,7 +263,7 @@ def video_step(
         return quantize_u8(y) if u8_io else y
 
     if ema_in_kernel is None:
-        ema_in_kernel = EMA_IN_KERNEL
+        ema_in_kernel = _EMA_IN_KERNEL_DEFAULT
     if cfg.method in ("retinex", "hybrid"):
         if cfg.method == "retinex" and use_pallas and ema_in_kernel:
             # Fully-fused step: illumination, EMA, gain, denoise and the
@@ -352,7 +351,8 @@ def video_step(
 
 
 def _make_step(cfg: PipelineConfig, alpha: float, params, use_pallas: bool,
-               interp: bool, h: int, w: int):
+               interp: bool, h: int, w: int,
+               ema_in_kernel: Optional[bool] = None):
     """Build the rank-agnostic jittable frame step and the per-stream carry
     shape for an (h, w) frame size: the same function serves a single
     (H, W, 3) frame and an (S, H, W, 3) multi-stream batch (channel axis is
@@ -371,7 +371,8 @@ def _make_step(cfg: PipelineConfig, alpha: float, params, use_pallas: bool,
         if not use_pallas:
             xb = normalize_u8(xb)
         state, yb = video_step(state, xb, cfg, alpha, params, h, w,
-                               use_pallas=use_pallas, interpret=interp)
+                               use_pallas=use_pallas, interpret=interp,
+                               ema_in_kernel=ema_in_kernel)
         out = yb[..., :h, m : m + w]
         if out.dtype != jnp.uint8:
             out = quantize_u8(out)
@@ -393,7 +394,8 @@ class _VideoBase:
 
     def _init_common(self, config: PipelineConfig, alpha: float,
                      model_params: Optional[Dict[str, Any]],
-                     force_jnp: bool, pallas_interpret: bool) -> None:
+                     force_jnp: bool, pallas_interpret: bool,
+                     ema_in_kernel: Optional[bool] = None) -> None:
         if config.method not in _VIDEO_METHODS:
             raise ValueError(
                 f"video path supports methods {_VIDEO_METHODS}, got "
@@ -414,6 +416,14 @@ class _VideoBase:
             backend == "tpu" or pallas_interpret
         )
         self._pallas_interpret = pallas_interpret and backend != "tpu"
+        # Constructor-owned trace-time flag (VERDICT r4 item 7: was a
+        # module-level mutable global): True routes the retinex step through
+        # the fully-fused EMA kernel, False through the ext_gain seam
+        # (needed for a traced alpha); None = the module default.
+        self.ema_in_kernel = (
+            _EMA_IN_KERNEL_DEFAULT if ema_in_kernel is None
+            else bool(ema_in_kernel)
+        )
         self._state: Optional[State] = None
         self._step = None
         self._shape: Optional[Tuple[int, int]] = None
@@ -436,6 +446,7 @@ class _VideoBase:
         step, self._carry_shape = _make_step(
             self._resolved_cfg, self.alpha, self.model_params,
             self._use_pallas, self._pallas_interpret, h, w,
+            ema_in_kernel=self.ema_in_kernel,
         )
         self._step = jax.jit(step)
 
@@ -466,9 +477,10 @@ class VideoEnhancer(_VideoBase):
                  alpha: float = 0.3,
                  model_params: Optional[Dict[str, Any]] = None,
                  force_jnp: bool = False,
-                 pallas_interpret: bool = False):
+                 pallas_interpret: bool = False,
+                 ema_in_kernel: Optional[bool] = None):
         self._init_common(config, alpha, model_params, force_jnp,
-                          pallas_interpret)
+                          pallas_interpret, ema_in_kernel=ema_in_kernel)
 
     def process(self, frame_u8: np.ndarray) -> np.ndarray:
         frame_u8 = np.asarray(frame_u8)
@@ -517,12 +529,13 @@ class MultiStreamVideoEnhancer(_VideoBase):
                  alpha: float = 0.3,
                  model_params: Optional[Dict[str, Any]] = None,
                  force_jnp: bool = False,
-                 pallas_interpret: bool = False):
+                 pallas_interpret: bool = False,
+                 ema_in_kernel: Optional[bool] = None):
         if n_streams < 1:
             raise ValueError(f"n_streams must be >= 1, got {n_streams}")
         self.n_streams = int(n_streams)
         self._init_common(config, alpha, model_params, force_jnp,
-                          pallas_interpret)
+                          pallas_interpret, ema_in_kernel=ema_in_kernel)
 
     def reset(self, stream: Optional[int] = None) -> None:
         """Re-seed the EMA — all streams, or just ``stream`` (scene cut in

@@ -211,7 +211,6 @@ def config7_video_stateful(quick: bool) -> dict:
     gain/low-res-map Pallas tail — chained on-device (state feeds forward),
     one scalar sync at the end. Reported per method; the e2e tunnel-bound
     number is config 4's."""
-    from low_light_image_enhancement_tpu import video as video_mod
     from low_light_image_enhancement_tpu.config import PipelineConfig
     from low_light_image_enhancement_tpu.video import VideoEnhancer
 
@@ -223,8 +222,8 @@ def config7_video_stateful(quick: bool) -> dict:
     # retinex runs as an A/B over the in-kernel EMA default (VERDICT r3
     # item 1): "retinex" is the shipped default (fully-fused
     # kernels.fused_retinex_ema), "retinex_extgain" the legacy seam (XLA
-    # illumination/EMA + ext_gain kernel tail). EMA_IN_KERNEL is trace-time,
-    # so each arm builds its own enhancer before flipping it back.
+    # illumination/EMA + ext_gain kernel tail). The flag is a constructor
+    # field (VERDICT r4 item 7), so each arm just builds its own enhancer.
     for label, cfg, ema_in_kernel in (
         ("retinex", PipelineConfig(), True),
         ("retinex_extgain", PipelineConfig(), False),
@@ -233,13 +232,8 @@ def config7_video_stateful(quick: bool) -> dict:
         ("hybrid_ds4", PipelineConfig(method="hybrid", curve_downsample=4),
          True),
     ):
-        prev = video_mod.EMA_IN_KERNEL
-        video_mod.EMA_IN_KERNEL = ema_in_kernel
-        try:
-            ve = VideoEnhancer(cfg, alpha=0.3)
-            ve.process(frame)  # compile + init state (traces the flag)
-        finally:
-            video_mod.EMA_IN_KERNEL = prev
+        ve = VideoEnhancer(cfg, alpha=0.3, ema_in_kernel=ema_in_kernel)
+        ve.process(frame)  # compile + init state (traces the flag)
         dev = jnp.asarray(frame)
         state = ve._state
         runs = {k: _video_chain(ve._step, dev, k) for k in (2, 2 + n)}
@@ -354,7 +348,6 @@ def config5_4k_sharded(quick: bool) -> dict:
     # Sharded stateful VIDEO at 4K (config 5 x config 4): the
     # SpatialShardedVideoEnhancer step — per-shard EMA carry + per-frame
     # halo exchange — chained on the same mesh.
-    from low_light_image_enhancement_tpu import video as video_mod
     from low_light_image_enhancement_tpu.parallel import (
         SpatialShardedVideoEnhancer,
     )
@@ -362,13 +355,9 @@ def config5_4k_sharded(quick: bool) -> dict:
     frame_hwc = np.asarray(jnp.moveaxis(x[0], 0, -1))
     # A/B over the in-kernel EMA default, as config 7 (VERDICT r3 item 1)
     for label, ema_in_kernel in (("", True), ("_extgain", False)):
-        prev = video_mod.EMA_IN_KERNEL
-        video_mod.EMA_IN_KERNEL = ema_in_kernel
-        try:
-            sve = SpatialShardedVideoEnhancer(mesh, cfg, alpha=0.3)
-            sve.process(frame_hwc)  # compile + init state
-        finally:
-            video_mod.EMA_IN_KERNEL = prev
+        sve = SpatialShardedVideoEnhancer(mesh, cfg, alpha=0.3,
+                                          ema_in_kernel=ema_in_kernel)
+        sve.process(frame_hwc)  # compile + init state
         dev = jnp.asarray(frame_hwc)
         state = sve._state
         runs_v = {k: _video_chain(sve._step, dev, k)
@@ -459,6 +448,167 @@ def config6_ingest(quick: bool) -> dict:
     }
 
 
+def _mosaic_from_rgb(rgb_u8: np.ndarray) -> np.ndarray:
+    """(H, W, 3) u8 -> (H, W) f32 RGGB mosaic (keep each Bayer site's own
+    channel — the ideal-sensor inverse of a demosaic)."""
+    h, w, _ = rgb_u8.shape
+    x = rgb_u8.astype(np.float32) / 255.0
+    raw = np.empty((h, w), np.float32)
+    raw[0::2, 0::2] = x[0::2, 0::2, 0]
+    raw[0::2, 1::2] = x[0::2, 1::2, 1]
+    raw[1::2, 0::2] = x[1::2, 0::2, 1]
+    raw[1::2, 1::2] = x[1::2, 1::2, 2]
+    return raw
+
+
+def config8_raw_ingest(quick: bool) -> dict:
+    """RAW (Bayer) ingest on the chip (VERDICT r4 item 1): on-chip
+    bit-parity of the fused single-program path vs the explicit two-stage
+    composition, the one-dispatch-vs-two A/B, a device-chained fused rate,
+    and a synthetic-mosaic quality row (PSNR/SSIM vs the RGB GT the
+    mosaics were sampled from)."""
+    from low_light_image_enhancement_tpu.config import PipelineConfig
+    from low_light_image_enhancement_tpu.data.synth import synth_batch
+    from low_light_image_enhancement_tpu.eval.metrics import psnr, ssim
+    from low_light_image_enhancement_tpu.pipeline import EnhancePipeline
+
+    b = 8 if quick else 48
+    h, w = (128, 192) if quick else (400, 600)
+    lows, highs = synth_batch(min(b, 8), h, w)
+    reps = -(-b // lows.shape[0])
+    lows = np.tile(lows, (reps, 1, 1, 1))[:b]
+    highs = np.tile(highs, (reps, 1, 1, 1))[:b]
+    raws = np.stack([_mosaic_from_rgb(im) for im in lows])
+
+    pipe = EnhancePipeline(PipelineConfig())
+    out = {"config": 8, "h": h, "w": w, "batch": b}
+
+    # 1) on-chip parity: fused one-program path vs explicit two-stage
+    # (ISP program -> standard enhance) — must be bit-exact (the same
+    # floats flow through both).
+    fused = pipe.enhance_raw_batch(raws)
+    from low_light_image_enhancement_tpu.ops.isp import DEFAULT_CCM
+
+    ccm_key = tuple(tuple(float(v) for v in row)
+                    for row in np.asarray(DEFAULT_CCM))
+    srgb = np.asarray(
+        pipe._compiled_isp(b, h, w, None, ccm_key, 1.0 / 2.2)(
+            jnp.asarray(raws))
+    )
+    staged = pipe.enhance_batch(srgb)
+    out["parity_fused_vs_two_stage_max_u8"] = int(
+        np.abs(fused.astype(int) - staged.astype(int)).max()
+    )
+
+    # 2) quality: mosaic -> fused RAW enhance vs the RGB ground truth the
+    # synthetic pair was built from (the RGB-route numbers are the eval
+    # runner's; this row isolates what the Bayer round-trip costs).
+    fe = jnp.asarray(fused, jnp.float32) / 255.0
+    ge = jnp.asarray(highs, jnp.float32) / 255.0
+    fe_p = jnp.transpose(fe, (0, 3, 1, 2))
+    ge_p = jnp.transpose(ge, (0, 3, 1, 2))
+    out["raw_psnr_db"] = round(float(jnp.mean(psnr(fe_p, ge_p))), 2)
+    out["raw_ssim"] = round(float(jnp.mean(ssim(fe_p, ge_p))), 3)
+
+    # 3) one-dispatch-vs-two A/B (python-chained marginal rate: both arms
+    # pay per-iteration dispatch, the fused arm pays it once per image
+    # batch instead of twice — the claimed win of fusing the ISP into the
+    # enhance program).
+    dev_raws = jnp.asarray(raws)
+    wb_key = None
+    fused_fn = pipe._compiled_raw(b, h, w, wb_key, ccm_key, 1.0 / 2.2)
+    isp_fn = pipe._compiled_isp(b, h, w, wb_key, ccm_key, 1.0 / 2.2)
+    enh_fn = pipe._compiled(b, h, w)
+
+    def fused_step(x):
+        return fused_fn(x, pipe.model_params)
+
+    def staged_step(x):
+        return enh_fn(isp_fn(x), pipe.model_params)
+
+    _sync(fused_step(dev_raws))
+    _sync(staged_step(dev_raws))
+    n_s, n_l = (2, 8) if quick else (3, 12)
+
+    def py_rate(step):
+        def chain(n):
+            t0 = time.perf_counter()
+            o = None
+            for _ in range(n):
+                o = step(dev_raws)
+            _sync(o)
+            return time.perf_counter() - t0
+
+        chain(n_s)
+        rates = []
+        for _ in range(3):
+            t_s, t_l = chain(n_s), chain(n_l)
+            rates.append(b * (n_l - n_s) / (t_l - t_s) if t_l > t_s
+                         else b * n_l / t_l)
+        return float(np.median(rates))
+
+    out["raw_fused_images_per_sec_pychain"] = round(py_rate(fused_step), 1)
+    out["raw_two_dispatch_images_per_sec_pychain"] = round(
+        py_rate(staged_step), 1)
+
+    # 4) device-chained fused rate (dispatch-free, the bench.py r4
+    # methodology): serialize iterations through a data dependency on the
+    # previous output's max (adds one reduce per iteration).
+    from low_light_image_enhancement_tpu.pipeline import (
+        _enhance_u8_batch,
+        _isp_u8_hwc,
+    )
+    from low_light_image_enhancement_tpu.kernels.fused_enhance import (
+        retinex_plan_bytes_per_px,
+    )
+    from low_light_image_enhancement_tpu.kernels.striping import plan_stripes
+    from low_light_image_enhancement_tpu.config import canvas_margin
+    import functools
+
+    plan = plan_stripes(h, w, canvas_margin(pipe.config),
+                        pipe.config.stripe_rows,
+                        bytes_per_px=retinex_plan_bytes_per_px(pipe.config))
+    body_enh = functools.partial(
+        _enhance_u8_batch, cfg=pipe.config, plan=plan,
+        use_pallas=pipe._use_pallas, pallas_interpret=pipe._pallas_interpret,
+    )
+    params = pipe.model_params
+
+    def dev_chain(k):
+        @jax.jit
+        def run(raws_in):
+            def step(c, _):
+                # min(c, 0) is 0 at runtime (c = a u8 max, >= 0) but not
+                # foldable statically, so the scan stays serialized on the
+                # previous iteration's output
+                u8 = _isp_u8_hwc(raws_in + jnp.minimum(c, 0.0) * 1e-6,
+                                 wb_key, ccm_key, 1.0 / 2.2)
+                o = body_enh(u8, params)
+                return jnp.max(o).astype(jnp.float32), None
+
+            c, _ = jax.lax.scan(step, jnp.float32(0), None, length=k)
+            return c
+
+        return run
+
+    runs = {k: dev_chain(k) for k in (n_s, n_l)}
+    for k in (n_s, n_l):
+        _ = float(runs[k](dev_raws))
+    rates = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _ = float(runs[n_s](dev_raws))
+        t_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _ = float(runs[n_l](dev_raws))
+        t_l = time.perf_counter() - t0
+        rates.append(b * (n_l - n_s) / (t_l - t_s) if t_l > t_s
+                     else b * n_l / t_l)
+    out["raw_fused_images_per_sec_devchain"] = round(
+        float(np.median(rates)), 1)
+    return out
+
+
 CONFIGS = {
     1: config1_single_cpu,
     2: config2_lol_eval,
@@ -467,13 +617,14 @@ CONFIGS = {
     7: config7_video_stateful,
     5: config5_4k_sharded,
     6: config6_ingest,
+    8: config8_raw_ingest,
 }
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--configs", type=int, nargs="*",
-                    default=[1, 2, 3, 4, 7, 5, 6])
+                    default=[1, 2, 3, 4, 7, 5, 6, 8])
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--cpu-mesh", action="store_true",
                     help="force CPU backend with 8 virtual devices (env vars "
