@@ -76,7 +76,7 @@ def bench_throughput(
     as single jitted ``lax.fori_loop`` programs — one tunnel dispatch per
     chain instead of one per iteration, so the marginal rate measures the
     chip, not the session's dispatch latency (the BENCH_r03 ±18%
-    dispersion; scripts/probe_bench_dispersion.py is the record).
+    dispersion; scripts/probe_pipeline.py dispersion is the record).
     ``chain="python"`` keeps the old per-iteration dispatch protocol."""
     from low_light_image_enhancement_tpu.config import PipelineConfig
     from low_light_image_enhancement_tpu.data.synth import synth_batch

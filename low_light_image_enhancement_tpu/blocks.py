@@ -487,7 +487,8 @@ def enhance_learned_block(
                             guide=cfg.denoise_guide,
                             taps=cfg.denoise_taps,
                             guided_radius=cfg.guided_radius,
-                            guided_eps=cfg.guided_eps)[..., :rows, :]
+                            guided_eps=cfg.guided_eps,
+                            windowed=cfg.stripe_windowed)[..., :rows, :]
         return quantize_u8(out) if u8_io else out
 
     from low_light_image_enhancement_tpu.ops.denoise import denoise_planar

@@ -26,6 +26,7 @@ from low_light_image_enhancement_tpu.kernels.striping import (
     extract_stripes,
     merge_stripes,
     stripe_pallas_call,
+    stripe_pallas_call_windowed,
 )
 from low_light_image_enhancement_tpu.ops.denoise import plane_cores
 from low_light_image_enhancement_tpu.ops.filters import separable_blur
@@ -281,30 +282,33 @@ def fused_curve_enhance(
     b, n_iter = curve_maps.shape[0], curve_maps.shape[1]
     maps_flat = curve_maps.reshape(b, n_iter * 3, *curve_maps.shape[-2:])
 
-    x_stripes = jnp.transpose(extract_stripes(xp, plan), (0, 2, 1, 3, 4))
-    if ds == 1:
-        lo_plan = plan
+    if ds != 1 and (plan.stripe_rows % ds or plan.margin % ds):
+        raise ValueError(
+            f"stripe rows {plan.stripe_rows} / margin {plan.margin} "
+            f"not divisible by curve_downsample={ds}"
+        )
+    if cfg.stripe_windowed:
+        inputs = [xp, maps_flat]
+        if gain is not None:
+            inputs.append(gain[:, None].astype(jnp.float32))
     else:
-        if plan.stripe_rows % ds or plan.margin % ds:
-            raise ValueError(
-                f"stripe rows {plan.stripe_rows} / margin {plan.margin} "
-                f"not divisible by curve_downsample={ds}"
-            )
-        lo_plan = StripePlan(
+        x_stripes = jnp.transpose(extract_stripes(xp, plan),
+                                  (0, 2, 1, 3, 4))
+        lo_plan = plan if ds == 1 else StripePlan(
             plan.n_stripes, plan.stripe_rows // ds, plan.padded_h // ds,
             plan.padded_w // ds, plan.margin // ds,
         )
-    m_stripes = jnp.transpose(extract_stripes(maps_flat, lo_plan),
-                              (0, 2, 1, 3, 4))
-    inputs = [x_stripes, m_stripes]
-    if gain is not None:
-        # (B, Hp, Wp) externally-computed boost plane (video EMA path)
-        inputs.append(
-            jnp.transpose(
-                extract_stripes(gain[:, None].astype(jnp.float32), plan),
-                (0, 2, 1, 3, 4),
+        m_stripes = jnp.transpose(extract_stripes(maps_flat, lo_plan),
+                                  (0, 2, 1, 3, 4))
+        inputs = [x_stripes, m_stripes]
+        if gain is not None:
+            # (B, Hp, Wp) externally-computed boost plane (video EMA path)
+            inputs.append(
+                jnp.transpose(
+                    extract_stripes(gain[:, None].astype(jnp.float32), plan),
+                    (0, 2, 1, 3, 4),
+                )
             )
-        )
     kernel = functools.partial(
         _curve_kernel,
         boost=cfg.method == "hybrid",
@@ -327,6 +331,9 @@ def fused_curve_enhance(
         img_w=img_w,
         ext_gain=gain is not None,
     )
+    if cfg.stripe_windowed:
+        return stripe_pallas_call_windowed(kernel, inputs, plan, xp.dtype,
+                                           interpret=interpret)
     out = stripe_pallas_call(kernel, inputs, plan, xp.dtype,
                              interpret=interpret)
     return merge_stripes(out, plan)
@@ -365,11 +372,16 @@ def fused_retinex_ema(
     video.video_step).
     """
     u8_io = xp.dtype == jnp.uint8
-    x_stripes = jnp.transpose(extract_stripes(xp, plan), (0, 2, 1, 3, 4))
-    c_stripes = jnp.transpose(
-        extract_stripes(carry[:, None].astype(jnp.float32), plan),
-        (0, 2, 1, 3, 4),
-    )
+    if cfg.stripe_windowed:
+        inputs = [xp, carry[:, None].astype(jnp.float32)]
+    else:
+        x_stripes = jnp.transpose(extract_stripes(xp, plan),
+                                  (0, 2, 1, 3, 4))
+        c_stripes = jnp.transpose(
+            extract_stripes(carry[:, None].astype(jnp.float32), plan),
+            (0, 2, 1, 3, 4),
+        )
+        inputs = [x_stripes, c_stripes]
     kernel = functools.partial(
         _retinex_kernel,
         radius=cfg.blur_radius,
@@ -389,8 +401,14 @@ def fused_retinex_ema(
         ema_alpha=float(alpha),
         img_w=img_w,
     )
+    if cfg.stripe_windowed:
+        out, lmix = stripe_pallas_call_windowed(
+            kernel, inputs, plan, xp.dtype,
+            interpret=interpret, extra_out=[(1, jnp.float32)],
+        )
+        return out, lmix[:, 0]
     out, lmix = stripe_pallas_call(
-        kernel, [x_stripes, c_stripes], plan, xp.dtype,
+        kernel, inputs, plan, xp.dtype,
         interpret=interpret, extra_out=[(1, jnp.float32)],
     )
     return merge_stripes(out, plan), merge_stripes(lmix, plan)[:, 0]
@@ -470,16 +488,22 @@ def fused_retinex(
       the horizontal padding; the caller crops [margin, margin + W).
     """
     u8_io = xp.dtype == jnp.uint8
-    stripes = extract_stripes(xp, plan)  # (B, 3, S, THh, Wp)
-    stripes = jnp.transpose(stripes, (0, 2, 1, 3, 4))  # (B, S, 3, THh, Wp)
-    inputs = stripes
-    if gain is not None:
-        # (B, Hp, Wp) f32 -> (B, S, 1, THh, Wp) stripes alongside the image
-        g_stripes = jnp.transpose(
-            extract_stripes(gain[:, None].astype(jnp.float32), plan),
-            (0, 2, 1, 3, 4),
-        )
-        inputs = [stripes, g_stripes]
+    if cfg.stripe_windowed:
+        # element-offset windows straight off the canvas: no XLA
+        # extract/merge copies (striping.stripe_pallas_call_windowed)
+        inputs = xp if gain is None else [
+            xp, gain[:, None].astype(jnp.float32)]
+    else:
+        stripes = extract_stripes(xp, plan)  # (B, 3, S, THh, Wp)
+        stripes = jnp.transpose(stripes, (0, 2, 1, 3, 4))
+        inputs = stripes
+        if gain is not None:
+            # (B, Hp, Wp) f32 -> (B, S, 1, THh, Wp) alongside the image
+            g_stripes = jnp.transpose(
+                extract_stripes(gain[:, None].astype(jnp.float32), plan),
+                (0, 2, 1, 3, 4),
+            )
+            inputs = [stripes, g_stripes]
 
     kernel = functools.partial(
         _retinex_kernel,
@@ -500,6 +524,9 @@ def fused_retinex(
         stages=tuple(stages),
         ext_gain=gain is not None,
     )
+    if cfg.stripe_windowed:
+        return stripe_pallas_call_windowed(kernel, inputs, plan, xp.dtype,
+                                           interpret=interpret)
     out = stripe_pallas_call(kernel, inputs, plan, xp.dtype,
                              interpret=interpret)
     return merge_stripes(out, plan)

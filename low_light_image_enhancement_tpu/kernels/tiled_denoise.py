@@ -17,6 +17,7 @@ from low_light_image_enhancement_tpu.kernels.striping import (
     extract_stripes,
     merge_stripes,
     stripe_pallas_call,
+    stripe_pallas_call_windowed,
 )
 from low_light_image_enhancement_tpu.kernels.fused_enhance import kroll2d
 from low_light_image_enhancement_tpu.ops.denoise import plane_cores
@@ -48,10 +49,13 @@ def tiled_denoise(
     taps: str = "full",
     guided_radius: int = 2,
     guided_eps: float = 3e-3,
+    windowed: bool = True,
 ) -> jnp.ndarray:
     """(B, 3, Hp, Wp) padded canvas -> (B, 3, S*TH, Wp) denoised rows
-    [margin, margin + S*TH); caller crops columns."""
-    stripes = jnp.transpose(extract_stripes(xp, plan), (0, 2, 1, 3, 4))
+    [margin, margin + S*TH); caller crops columns. ``windowed`` takes the
+    element-offset window path (no XLA extract/merge copies — round 5)."""
+    if not windowed:
+        stripes = jnp.transpose(extract_stripes(xp, plan), (0, 2, 1, 3, 4))
 
     kernel = functools.partial(
         _denoise_kernel,
@@ -65,6 +69,9 @@ def tiled_denoise(
         margin=plan.margin,
         th=plan.stripe_rows,
     )
+    if windowed:
+        return stripe_pallas_call_windowed(kernel, xp, plan, jnp.float32,
+                                           interpret=interpret)
     out = stripe_pallas_call(kernel, stripes, plan, jnp.float32,
                              interpret=interpret)
     return merge_stripes(out, plan)

@@ -151,6 +151,84 @@ def pipeline_cost(cfg: PipelineConfig, h: int, w: int) -> Cost:
     raise ValueError(f"no roofline model for method {cfg.method!r}")
 
 
+# ------------------------------------------------------------------ #
+# Training-step roofline (VERDICT r4 item 5: config 3 had a rate but no
+# efficiency statement — FLOPs/bytes/utilization for fwd+bwd+update)
+# ------------------------------------------------------------------ #
+
+_CURVE_SIZES = lambda f, n: [(3, f), (f, f), (f, f), (f, f), (2 * f, f),
+                             (2 * f, f), (2 * f, 3 * n)]
+
+
+def train_step_cost(features: int, n_iter: int, crop: int,
+                    remat: bool = True,
+                    compute_dtype: str = "float32") -> Cost:
+    """Per-IMAGE algorithmic cost of one curve-CNN training step (the
+    config-3 workload: zero-reference loss, fwd + bwd + adamw update).
+
+    Conventions on top of the module header's:
+    * backward conv FLOPs = 2x forward (one dgrad + one wgrad contraction
+      of the same shape per layer); ``remat`` adds one more forward
+      (jax.checkpoint recomputes activations in the bwd pass) -> 4x fwd
+      with remat, 3x without;
+    * HBM bytes: batch in (f32 planar) + per-layer activations at the
+      compute dtype crossing HBM twice per materialization (write + read),
+      materialized twice with remat (fwd + recompute) plus gradients once;
+      params/optimizer state are O(100 KB) for this net — charged once,
+      negligible vs activations at config-3 sizes;
+    * the loss's pooled terms and the curve application are VPU work of
+      the same order as inference's per-pixel tail — counted via the
+      inference model's curve tail constant.
+    """
+    px = float(crop * crop)
+    sizes = _CURVE_SIZES(features, n_iter)
+    fwd_mxu = _conv_flops(crop, crop, sizes)
+    passes = 4.0 if remat else 3.0
+    mxu = passes * fwd_mxu
+
+    act = 2 if compute_dtype == "bfloat16" else 4
+    inter = [features] * 6  # c1..c6 outputs; c7 emits the maps
+    act_mat = 2.0 if remat else 1.0  # materializations of the fwd acts
+    act_bytes = sum(2 * c * act for c in inter) * px * act_mat
+    grad_bytes = sum(2 * c * act for c in inter) * px  # dgrad traffic
+    maps_bytes = 2 * n_iter * 3 * 4 * px  # curve maps (f32) fwd + bwd
+    io_bytes = 2 * 3 * 4 * px  # f32 planar batch in, read fwd + recompute
+    # per-pixel loss work: curves fwd+bwd (~3x fwd), pools, TV
+    vpu = (n_iter * 3 * 4 * 3 + 40) * px
+    return Cost(mxu, vpu, io_bytes + act_bytes + grad_bytes + maps_bytes)
+
+
+def train_roofline_report(features: int, n_iter: int, crop: int,
+                          images_per_sec: float, remat: bool = True,
+                          compute_dtype: str = "float32") -> dict:
+    """Flat JSON fields for the config-3 training bench: achieved TF/s and
+    GB/s vs v5e peaks and which ceiling binds. The MXU fraction is
+    reported against the bf16 peak; f32 contractions lower through the
+    bf16 MXU via multi-pass (so their achievable ceiling is a small
+    integer fraction of it — the ``mxu_util_pct`` field states the
+    compute dtype to keep that readable)."""
+    c = train_step_cost(features, n_iter, crop, remat, compute_dtype)
+    mxu_tf = c.mxu_flops * images_per_sec / 1e12
+    vpu_tf = c.vpu_flops * images_per_sec / 1e12
+    gbps = c.hbm_bytes * images_per_sec / 1e9
+    fracs = {
+        "MXU": mxu_tf / V5E_MXU_BF16_TFLOPS,
+        "VPU": vpu_tf / V5E_VPU_TFLOPS_MEAS,
+        "HBM": gbps / V5E_HBM_GBPS,
+    }
+    bound = max(fracs, key=fracs.get)
+    return {
+        "train_flops_per_img_mxu": round(c.mxu_flops),
+        "train_hbm_bytes_per_img": round(c.hbm_bytes),
+        "train_achieved_mxu_tflops": round(mxu_tf, 2),
+        "train_achieved_hbm_gbps": round(gbps, 2),
+        "train_mxu_util_pct_of_bf16_peak": round(100 * fracs["MXU"], 2),
+        "train_hbm_util_pct": round(100 * fracs["HBM"], 2),
+        "train_compute_dtype": compute_dtype,
+        "train_roofline_bound": bound,
+    }
+
+
 def roofline_report(cfg: PipelineConfig, h: int, w: int,
                     images_per_sec: float) -> dict:
     """Achieved rates vs v5e peaks + the binding ceiling, as flat

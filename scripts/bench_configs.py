@@ -136,7 +136,7 @@ def config3_curve_cnn(quick: bool) -> dict:
         params, opt_state, m = step(params, opt_state, batch)
     _sync(m["loss"])
     dt = (time.perf_counter() - t0) / n
-    return {
+    out = {
         "config": 3,
         "batch": bs,
         "crop": crop,
@@ -144,6 +144,38 @@ def config3_curve_cnn(quick: bool) -> dict:
         "train_images_per_sec": round(bs / dt, 1),
         "loss": round(float(m["loss"]), 4),
     }
+    # Training-step roofline (VERDICT r4 item 5): FLOPs/bytes/utilization
+    # for fwd+bwd+update, and a bf16-compute A/B arm — the measured lever
+    # the roofline model predicts (f32 contractions multi-pass through the
+    # bf16-native MXU).
+    from low_light_image_enhancement_tpu.utils.roofline import (
+        train_roofline_report,
+    )
+
+    out.update(train_roofline_report(
+        tcfg.features, tcfg.n_iter, crop, bs / dt,
+        remat=tcfg.remat, compute_dtype=tcfg.compute_dtype,
+    ))
+    import dataclasses as _dc
+
+    tcfg_bf16 = _dc.replace(tcfg, compute_dtype="bfloat16")
+    step16 = make_train_step(tcfg_bf16)
+    params16, opt16 = init_train_state(tcfg_bf16)
+    params16, opt16, m16 = step16(params16, opt16, batch)  # compile
+    _sync(m16["loss"])
+    t0 = time.perf_counter()
+    for _ in range(n):
+        params16, opt16, m16 = step16(params16, opt16, batch)
+    _sync(m16["loss"])
+    dt16 = (time.perf_counter() - t0) / n
+    out["train_images_per_sec_bf16"] = round(bs / dt16, 1)
+    out["train_bf16_loss"] = round(float(m16["loss"]), 4)
+    for k, v in train_roofline_report(
+        tcfg.features, tcfg.n_iter, crop, bs / dt16,
+        remat=tcfg.remat, compute_dtype="bfloat16",
+    ).items():
+        out[k + "_bf16"] = v
+    return out
 
 
 def config4_1080p_stream(quick: bool) -> dict:

@@ -29,6 +29,7 @@ WEIGHTS_DIR = (
 def train_curve(steps: int, batch: int, crop: int,
                 hybrid: bool = False, objective: str = "paired",
                 denoise_in_loss: bool = False,
+                loss_tail: str = "bilateral",
                 out_name: str = None) -> dict:
     """Curve-CNN training. ``hybrid=True`` trains on retinex-boosted inputs
     (matching the hybrid pipeline, where curves adjust the boosted image)
@@ -56,7 +57,8 @@ def train_curve(steps: int, batch: int, crop: int,
     )
 
     tcfg = TrainConfig(batch_size=batch, crop=crop, steps=steps,
-                       denoise_in_loss=denoise_in_loss)
+                       denoise_in_loss=denoise_in_loss,
+                       loss_tail_taps=loss_tail)
     params, opt_state = init_train_state(tcfg, seed=0)
     paired = objective == "paired"
     step = (make_paired_curve_train_step if paired else make_train_step)(tcfg)
@@ -81,12 +83,13 @@ def train_curve(steps: int, batch: int, crop: int,
     out = out_name or ("curve_hybrid.npz" if hybrid else "curve_cnn.npz")
     save_params(params, WEIGHTS_DIR / out)
     return {"model": name, "objective": objective,
-            "denoise_in_loss": denoise_in_loss,
+            "denoise_in_loss": denoise_in_loss, "loss_tail": loss_tail,
             "first_loss": first, "final_loss": last}
 
 
 def train_fcn_weights(steps: int, batch: int, crop: int,
                       features: int = 24, denoise_in_loss: bool = False,
+                      loss_tail: str = "bilateral",
                       out_name: str = None) -> dict:
     """Measured width sweep (600x400 bf16, img/s): 8->1633, 16->883,
     24->597, 32->410, 64->446, 128->358 — sub-128 channel counts
@@ -103,7 +106,8 @@ def train_fcn_weights(steps: int, batch: int, crop: int,
     )
 
     tcfg = TrainConfig(features=features, batch_size=batch, crop=crop,
-                       steps=steps, denoise_in_loss=denoise_in_loss)
+                       steps=steps, denoise_in_loss=denoise_in_loss,
+                       loss_tail_taps=loss_tail)
     params = init_fcn(jax.random.PRNGKey(0), features=features)
     opt_state = make_optimizer(tcfg).init(params)
     step = make_supervised_train_step(tcfg)
@@ -122,10 +126,14 @@ def train_fcn_weights(steps: int, batch: int, crop: int,
                   f"({batch*(i+1)/(time.time()-t0):.0f} img/s)", flush=True)
     save_params(params, WEIGHTS_DIR / (out_name or "fcn.npz"))
     return {"model": "fcn", "denoise_in_loss": denoise_in_loss,
-            "first_loss": first, "final_loss": last}
+            "loss_tail": loss_tail, "first_loss": first, "final_loss": last}
 
 
-def train_decom_weights(steps: int, batch: int, crop: int) -> dict:
+def train_decom_weights(steps: int, batch: int, crop: int,
+                        w_relit: float = 0.0,
+                        denoise_in_loss: bool = False,
+                        loss_tail: str = "bilateral",
+                        out_name: str = None) -> dict:
     from low_light_image_enhancement_tpu.data.synth_device import synth_batch_iter
     from low_light_image_enhancement_tpu.models.decom import init_decom_net
     from low_light_image_enhancement_tpu.models.weights import save_params
@@ -135,7 +143,9 @@ def train_decom_weights(steps: int, batch: int, crop: int) -> dict:
         make_optimizer,
     )
 
-    tcfg = TrainConfig(batch_size=batch, crop=crop, steps=steps)
+    tcfg = TrainConfig(batch_size=batch, crop=crop, steps=steps,
+                       w_relit=w_relit, denoise_in_loss=denoise_in_loss,
+                       loss_tail_taps=loss_tail)
     params = init_decom_net(jax.random.PRNGKey(0))
     opt_state = make_optimizer(tcfg).init(params)
     step = make_decom_train_step(tcfg)
@@ -149,14 +159,25 @@ def train_decom_weights(steps: int, batch: int, crop: int) -> dict:
             first = float(m["loss"])
         if (i + 1) % 200 == 0 or i == steps - 1:
             last = float(m["loss"])
+            extra = (f" relit_ssim {float(m['relit_ssim']):.4f}"
+                     if "relit_ssim" in m else "")
             print(f"decom step {i+1}/{steps} loss {last:.4f} recon "
-                  f"{float(m['recon']):.4f} "
+                  f"{float(m['recon']):.4f}{extra} "
                   f"({batch*(i+1)/(time.time()-t0):.0f} img/s)", flush=True)
-    save_params(params, WEIGHTS_DIR / "decom.npz")
-    return {"model": "decom", "first_loss": first, "final_loss": last}
+    save_params(params, WEIGHTS_DIR / (out_name or "decom.npz"))
+    return {"model": "decom", "w_relit": w_relit,
+            "denoise_in_loss": denoise_in_loss, "loss_tail": loss_tail,
+            "first_loss": first, "final_loss": last}
 
 
 def main() -> None:
+    # Persistent XLA compile cache: the guided-in-loss bwd at crop 256
+    # measures ~5.6 min of compile; repeat/retry runs skip it.
+    from low_light_image_enhancement_tpu.utils.compile_cache import (
+        enable_compile_cache,
+    )
+
+    enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=1500)
     ap.add_argument("--batch", type=int, default=16)
@@ -169,6 +190,14 @@ def main() -> None:
     ap.add_argument("--denoise-in-loss", action="store_true",
                     help="paired objective compares AFTER the pipeline's "
                          "denoise tail (VERDICT r3 item 7 experiment)")
+    ap.add_argument("--loss-tail", default="bilateral",
+                    choices=("bilateral", "guided"),
+                    help="WHICH tail --denoise-in-loss trains through "
+                         "(guided = the quality-preset guided filter, "
+                         "VERDICT r4 item 3)")
+    ap.add_argument("--w-relit", type=float, default=0.0,
+                    help="decom: weight of the materialized-relit-image "
+                         "L1+SSIM term (0 = pure decomposition objective)")
     ap.add_argument("--out-name", default=None,
                     help="override the output .npz filename (experiments)")
     args = ap.parse_args()
@@ -178,20 +207,27 @@ def main() -> None:
             print(train_curve(args.steps, args.batch, args.crop,
                               objective=args.objective,
                               denoise_in_loss=args.denoise_in_loss,
+                              loss_tail=args.loss_tail,
                               out_name=args.out_name), flush=True)
         elif model == "hybrid":
             print(train_curve(args.steps, args.batch, args.crop, hybrid=True,
                               objective=args.objective,
                               denoise_in_loss=args.denoise_in_loss,
+                              loss_tail=args.loss_tail,
                               out_name=args.out_name),
                   flush=True)
         elif model == "fcn":
             print(train_fcn_weights(args.steps, args.batch, args.crop,
                                     denoise_in_loss=args.denoise_in_loss,
+                                    loss_tail=args.loss_tail,
                                     out_name=args.out_name),
                   flush=True)
         elif model == "decom":
-            print(train_decom_weights(args.steps, args.batch, args.crop),
+            print(train_decom_weights(args.steps, args.batch, args.crop,
+                                      w_relit=args.w_relit,
+                                      denoise_in_loss=args.denoise_in_loss,
+                                      loss_tail=args.loss_tail,
+                                      out_name=args.out_name),
                   flush=True)
 
 

@@ -232,3 +232,72 @@ def test_ema_flag_drift_across_resume(tmp_path):
     )
     assert all(np.isfinite(np.asarray(t)).all()
                for t in jax.tree_util.tree_leaves(p2))
+
+
+def test_guided_loss_tail_differs_and_differentiates():
+    """loss_tail_taps='guided' (VERDICT r4 item 3) routes the in-loss tail
+    through the guided filter: the loss must move vs the bilateral tail,
+    match hand-applying ops.denoise with guided taps, and carry finite
+    gradients."""
+    import dataclasses
+
+    from low_light_image_enhancement_tpu.train import (
+        _denoise_tail,
+        paired_curve_loss,
+    )
+
+    tcfg_b = dataclasses.replace(_TINY, denoise_in_loss=True)
+    tcfg_g = dataclasses.replace(tcfg_b, loss_tail_taps="guided",
+                                 loss_tail_guided_radius=4)
+    low = _batch(_TINY)
+    high = jnp.clip(low * 2.0, 0.0, 1.0)
+    params, _ = init_train_state(_TINY)
+    l_b, _ = paired_curve_loss(params, low, high, tcfg_b)
+    l_g, _ = paired_curve_loss(params, low, high, tcfg_g)
+    assert np.isfinite(float(l_g)) and float(l_g) != float(l_b)
+    g = jax.grad(lambda p: paired_curve_loss(p, low, high, tcfg_g)[0])(
+        params)
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree_util.tree_leaves(g))
+    # the guided in-loss tail is exactly the pipeline's guided denoise
+    from low_light_image_enhancement_tpu.config import PipelineConfig
+    from low_light_image_enhancement_tpu.ops.denoise import denoise_planar
+    from low_light_image_enhancement_tpu.ops.filters import shift2d
+
+    pcfg = PipelineConfig(denoise_taps="guided", guided_radius=4)
+    y = jnp.clip(low * 1.5, 0.0, 1.0)
+    want = jnp.clip(
+        denoise_planar(y, 1.0 / (2 * pcfg.denoise_sigma ** 2),
+                       pcfg.denoise_strength, shift2d, pcfg.denoise_kernel,
+                       pcfg.denoise_guide, "guided", pcfg.guided_radius,
+                       pcfg.guided_eps),
+        0.0, 1.0,
+    )
+    np.testing.assert_allclose(np.asarray(_denoise_tail(y, tcfg_g)),
+                               np.asarray(want), rtol=0, atol=0)
+
+
+def test_decom_relit_objective_scores_shipped_image():
+    """w_relit>0 (VERDICT r4 item 3) adds an L1+SSIM term on the
+    materialized relit image y = R*L**relit_gamma — the image the decom
+    pipeline ships; gradients must flow and the metrics must appear."""
+    import dataclasses
+
+    from low_light_image_enhancement_tpu.models.decom import init_decom_net
+    from low_light_image_enhancement_tpu.train import decom_loss
+
+    params = init_decom_net(jax.random.PRNGKey(0))
+    low = _batch(_TINY)
+    high = jnp.clip(low * 2.5, 0.0, 1.0)
+    tcfg0 = _TINY
+    tcfg_r = dataclasses.replace(
+        _TINY, w_relit=1.0, denoise_in_loss=True, loss_tail_taps="guided",
+    )
+    l0, m0 = decom_loss(params, low, high, tcfg0)
+    lr, mr = decom_loss(params, low, high, tcfg_r)
+    assert "relit_ssim" in mr and "relit_l1" in mr
+    assert "relit_ssim" not in m0
+    assert float(lr) > float(l0)  # the added term is nonnegative
+    g = jax.grad(lambda p: decom_loss(p, low, high, tcfg_r)[0])(params)
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree_util.tree_leaves(g))

@@ -76,3 +76,35 @@ def test_every_method_has_a_model():
 
 def test_peaks_are_v5e_public_figures():
     assert V5E_MXU_BF16_TFLOPS == 197.0 and V5E_HBM_GBPS == 819.0
+
+
+def test_train_step_cost_and_report():
+    from low_light_image_enhancement_tpu.utils.roofline import (
+        train_roofline_report,
+        train_step_cost,
+    )
+
+    c = train_step_cost(32, 8, 512, remat=True)
+    c_nr = train_step_cost(32, 8, 512, remat=False)
+    # remat = one extra forward pass of conv FLOPs, less activation HBM
+    assert c.mxu_flops == pytest.approx(c_nr.mxu_flops * 4 / 3)
+    assert c.hbm_bytes > c_nr.hbm_bytes  # recompute re-materializes acts
+    # conv FLOPs: 4 passes x 2*9*sum(cin*cout)*px
+    pairs = 3 * 32 + 3 * 32 * 32 + 2 * 64 * 32 + 64 * 24
+    assert c.mxu_flops == pytest.approx(4 * 2 * 9 * pairs * 512 * 512)
+    r = train_roofline_report(32, 8, 512, images_per_sec=96.8)
+    assert r["train_roofline_bound"] in ("MXU", "VPU", "HBM")
+    assert 0 < r["train_mxu_util_pct_of_bf16_peak"] < 100
+    assert r["train_compute_dtype"] == "float32"
+    assert all(isinstance(v, (int, float, str)) for v in r.values())
+
+
+def test_vpu_peak_is_the_measured_constant():
+    from low_light_image_enhancement_tpu.utils.roofline import (
+        V5E_VPU_TFLOPS_MEAS,
+    )
+
+    # anchored by scripts/probe_vpu_peak.py (round 5): 3.5 TF/s f32 FMA
+    assert V5E_VPU_TFLOPS_MEAS == 3.5
+    r = roofline_report(PipelineConfig(), 400, 600, 46_000.0)
+    assert r["vpu_peak_tflops"] == 3.5
