@@ -53,8 +53,11 @@ def _add_config_args(p: argparse.ArgumentParser) -> None:
                    help="force the pure-jnp reference path")
     p.add_argument("--weights", default=None,
                    help="model weights: an .npz path or a shipped name "
-                        "(zeroref, curve, hybrid, fcn, decom); default: "
-                        "the method's shipped weights")
+                        "(zeroref, curve, hybrid, fcn, decom, plus the "
+                        "guided-in-loss round-5 sets hybrid_guided/"
+                        "curve_guided/fcn_guided/decom_relit[_guided] — "
+                        "models.weights.NAMED); default: the method's "
+                        "shipped weights, or the preset's weights_name")
 
 
 def _build_config(args) -> PipelineConfig:

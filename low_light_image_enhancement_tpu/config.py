@@ -212,6 +212,14 @@ class PipelineConfig:
     # --- sharding (config 5) -------------------------------------------------
     spatial_shards: int = 1      # >1: shard H across `spatial` mesh axis
     data_shards: int = 1         # >1: shard batch across `data` mesh axis
+
+    # Named shipped weights this config pairs with (models.weights.NAMED),
+    # overriding the per-method default — a preset whose quality number was
+    # measured with specific weights carries them (round 5: the quality
+    # preset's guided tail pairs with guided-in-loss-trained weights; tail
+    # choice is part of the training contract, docs/PERFORMANCE.md).
+    # None = the method's default .npz. Explicit model_params still win.
+    weights_name: Optional[str] = None
                                  # (DP inference/serving; the batch-sharded
                                  # program compiles with no collectives —
                                  # tests/parallel/test_dp_scaling.py — so n

@@ -229,10 +229,19 @@ class EnhancePipeline:
     @staticmethod
     def _default_params(config: PipelineConfig, rng_seed: int):
         """Repo-shipped pretrained weights when present and shape-compatible
-        with the config; fresh random init otherwise."""
+        with the config; fresh random init otherwise. A config carrying
+        ``weights_name`` resolves that shipped name instead (presets whose
+        quality numbers were measured with specific weights)."""
         from low_light_image_enhancement_tpu.models.weights import (
             load_pretrained,
         )
+
+        if config.weights_name is not None:
+            from low_light_image_enhancement_tpu.models.weights import (
+                resolve_weights,
+            )
+
+            return resolve_weights(config.weights_name)
 
         if config.method in ("curve", "hybrid"):
             pre = load_pretrained(config.method)

@@ -211,6 +211,24 @@ def config4_1080p_stream(quick: bool) -> dict:
         "fps_1080p": round(n_frames / dt, 2),
     }
     out.update(roofline_report(pipe.config, h, w, n_frames / dt))
+
+    # Staging A/B (round 5, VERDICT r4 item 2): the same stream through
+    # enhance_stream with device-side boundary passes (hwc) vs host-staged
+    # canvases (device runs the fused kernel alone; host workers own
+    # transpose/pad/crop). Both fetch results to host (e2e fps).
+    for staging in ("hwc", "canvas"):
+        def gen():
+            for _ in range(n_frames):
+                yield frame[None]
+
+        # warm up compile outside the timed window
+        next(iter(pipe.enhance_stream(iter([frame[None]]), staging=staging)))
+        t0 = time.perf_counter()
+        n_out = 0
+        for res in pipe.enhance_stream(gen(), staging=staging, workers=2):
+            n_out += 1
+        dt_s = time.perf_counter() - t0
+        out[f"fps_1080p_e2e_{staging}"] = round(n_out / dt_s, 2)
     return out
 
 

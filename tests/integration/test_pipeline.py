@@ -144,3 +144,24 @@ def test_hybrid_left_edge_independent_of_right_edge_content():
     out_a = pipe.enhance(a)
     out_b = pipe.enhance(b)
     np.testing.assert_array_equal(out_a[:, :24], out_b[:, :24])
+
+
+def test_weights_name_config_resolves_named_weights():
+    """A config carrying weights_name loads that NAMED set instead of the
+    method default (presets pair measured quality numbers with the weights
+    that produced them — round 5)."""
+    import numpy as np
+
+    from low_light_image_enhancement_tpu.config import PipelineConfig
+    from low_light_image_enhancement_tpu.models.weights import resolve_weights
+    from low_light_image_enhancement_tpu.pipeline import EnhancePipeline
+
+    cfg = PipelineConfig(method="curve", weights_name="zeroref")
+    pipe = EnhancePipeline(cfg, force_jnp=True)
+    want = resolve_weights("zeroref")
+    got = pipe.model_params
+    np.testing.assert_array_equal(np.asarray(got["c1"]["w"]),
+                                  np.asarray(want["c1"]["w"]))
+    # explicit model_params still win over weights_name
+    explicit = EnhancePipeline(cfg, model_params=want, force_jnp=True)
+    assert explicit.model_params is want
