@@ -161,8 +161,11 @@ class PipelineConfig:
                                  # BlockSpecs (Pallas's own double-buffered
                                  # DMA), skipping the XLA extract/merge
                                  # canvas copies (round 5, VERDICT r4
-                                 # item 8 — measured 1.6x on the canvas
-                                 # path). False = the round-4 stripes form
+                                 # item 8 — measured +7.6% on the 600x400
+                                 # headline program, +8.3% on the canvas
+                                 # path, ~flat at 1080p where per-pixel
+                                 # compute dominates; bit-exact).
+                                 # False = the round-4 stripes form
                                  # (extract_stripes + merge_stripes), kept
                                  # as the A/B reference.
     compute_dtype: str = "bfloat16"  # CNN conv compute dtype (the MXU-fed
@@ -308,12 +311,17 @@ PRESETS = {
     "config5_4k_sharded": PipelineConfig(
         method="retinex", use_pallas=True, spatial_shards=8
     ),
-    # Measured quality frontier (round 4): decomposition head + in-kernel
-    # guided tail at radius 4 — 19.73 dB / 0.918 SSIM / dE 18.6 on eval-15
-    # at 1,311 img/s b48 (docs/PERFORMANCE.md guided table). The
+    # Measured quality frontier (round 5): decomposition head trained with
+    # the materialized-relit-image objective THROUGH the guided tail
+    # (weights decom_relit_guided) + in-kernel guided tail at radius 4 —
+    # 20.14 dB / 0.921 SSIM / dE 17.9 on eval-15 (round 4's
+    # inference-tuned frontier was 19.73 / 0.918 / 18.6; training through
+    # the shipping tail bought all three metrics —
+    # docs/PERFORMANCE.md guided-in-loss round-5 section). The
     # throughput pick stays the default retinex pipeline.
     "quality": PipelineConfig(
-        method="decom", denoise_taps="guided", guided_radius=4
+        method="decom", denoise_taps="guided", guided_radius=4,
+        weights_name="decom_relit_guided",
     ),
     # Fastest learned path that still beats every classical metric:
     # supervised FCN with the default bilateral tail (18.8 dB / 0.89).

@@ -112,7 +112,14 @@ class TrainConfig:
     exposure_level: float = 0.32
     log_every: int = 50
     checkpoint_every: int = 500
-    compute_dtype: str = "float32"
+    # bf16 conv compute with f32 accumulation: the round-5 config-3 A/B
+    # measured 97.4 vs 68.7 img/s (+42%) at loss identical to 4 decimals
+    # (209.4733 vs 209.4801 — scripts/bench_configs.py --configs 3 emits
+    # both arms). The f32 MXU path multi-passes the bf16-native systolic
+    # array AND doubles activation HBM; nothing in these losses needs f32
+    # activations. Recipes of record before round 5 trained f32 — set
+    # compute_dtype="float32" to reproduce them bit-for-bit.
+    compute_dtype: str = "bfloat16"
     # Rematerialize the CNN forward in the backward pass (jax.checkpoint):
     # at the spec'd config-3 size (512x512 batch 64) stored conv activations
     # alone are ~13 GB — past a v5e's 16 GB HBM without remat.

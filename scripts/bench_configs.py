@@ -145,9 +145,10 @@ def config3_curve_cnn(quick: bool) -> dict:
         "loss": round(float(m["loss"]), 4),
     }
     # Training-step roofline (VERDICT r4 item 5): FLOPs/bytes/utilization
-    # for fwd+bwd+update, and a bf16-compute A/B arm — the measured lever
-    # the roofline model predicts (f32 contractions multi-pass through the
-    # bf16-native MXU).
+    # for fwd+bwd+update, and an f32-compute A/B arm. The round-5 A/B
+    # measured bf16 +42% (97.4 vs 68.7 img/s) at loss identical to 4
+    # decimals, so bf16 became the TrainConfig default; the f32 arm stays
+    # here as the reference (and the pre-r5 recipes' dtype).
     from low_light_image_enhancement_tpu.utils.roofline import (
         train_roofline_report,
     )
@@ -158,23 +159,23 @@ def config3_curve_cnn(quick: bool) -> dict:
     ))
     import dataclasses as _dc
 
-    tcfg_bf16 = _dc.replace(tcfg, compute_dtype="bfloat16")
-    step16 = make_train_step(tcfg_bf16)
-    params16, opt16 = init_train_state(tcfg_bf16)
-    params16, opt16, m16 = step16(params16, opt16, batch)  # compile
-    _sync(m16["loss"])
+    tcfg32 = _dc.replace(tcfg, compute_dtype="float32")
+    step32 = make_train_step(tcfg32)
+    params32, opt32 = init_train_state(tcfg32)
+    params32, opt32, m32 = step32(params32, opt32, batch)  # compile
+    _sync(m32["loss"])
     t0 = time.perf_counter()
     for _ in range(n):
-        params16, opt16, m16 = step16(params16, opt16, batch)
-    _sync(m16["loss"])
-    dt16 = (time.perf_counter() - t0) / n
-    out["train_images_per_sec_bf16"] = round(bs / dt16, 1)
-    out["train_bf16_loss"] = round(float(m16["loss"]), 4)
+        params32, opt32, m32 = step32(params32, opt32, batch)
+    _sync(m32["loss"])
+    dt32 = (time.perf_counter() - t0) / n
+    out["train_images_per_sec_f32"] = round(bs / dt32, 1)
+    out["train_f32_loss"] = round(float(m32["loss"]), 4)
     for k, v in train_roofline_report(
-        tcfg.features, tcfg.n_iter, crop, bs / dt16,
-        remat=tcfg.remat, compute_dtype="bfloat16",
+        tcfg.features, tcfg.n_iter, crop, bs / dt32,
+        remat=tcfg.remat, compute_dtype="float32",
     ).items():
-        out[k + "_bf16"] = v
+        out[k + "_f32"] = v
     return out
 
 
