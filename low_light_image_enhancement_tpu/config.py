@@ -156,18 +156,22 @@ class PipelineConfig:
     use_pallas: bool = True      # fuse the per-pixel graph into a Pallas kernel
     stripe_rows: int = 1024      # cap on Pallas stripe height (rows/grid step);
                                  # actual height is VMEM-budgeted (striping.py)
-    stripe_windowed: bool = True # overlapping input windows come straight
-                                 # off the padded canvas via element-offset
-                                 # BlockSpecs (Pallas's own double-buffered
-                                 # DMA), skipping the XLA extract/merge
-                                 # canvas copies (round 5, VERDICT r4
-                                 # item 8 — measured +7.6% on the 600x400
-                                 # headline program, +8.3% on the canvas
-                                 # path, ~flat at 1080p where per-pixel
-                                 # compute dominates; bit-exact).
-                                 # False = the round-4 stripes form
-                                 # (extract_stripes + merge_stripes), kept
-                                 # as the A/B reference.
+    stripe_windowed: Optional[bool] = None
+                                 # True: overlapping input windows come
+                                 # straight off the padded canvas via
+                                 # element-offset BlockSpecs (Pallas's own
+                                 # double-buffered DMA), skipping the XLA
+                                 # extract/merge canvas copies (round 5,
+                                 # VERDICT r4 item 8 — measured +7.6% on
+                                 # the 600x400 headline program, +8.3% on
+                                 # the canvas path, ~flat at 1080p,
+                                 # MINUS 9% at 4K width; bit-exact).
+                                 # False: the round-4 stripes form
+                                 # (extract_stripes + merge_stripes), the
+                                 # A/B reference. None (default): auto —
+                                 # windowed up to 1080p-class widths,
+                                 # stripes beyond
+                                 # (striping.use_windowed).
     compute_dtype: str = "bfloat16"  # CNN conv compute dtype (the MXU-fed
                                  # models: curve/fcn/decom). bf16 measured
                                  # +45% fcn inference at IDENTICAL eval

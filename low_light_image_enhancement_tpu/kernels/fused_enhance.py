@@ -27,6 +27,7 @@ from low_light_image_enhancement_tpu.kernels.striping import (
     merge_stripes,
     stripe_pallas_call,
     stripe_pallas_call_windowed,
+    use_windowed,
 )
 from low_light_image_enhancement_tpu.ops.denoise import plane_cores
 from low_light_image_enhancement_tpu.ops.filters import separable_blur
@@ -287,7 +288,7 @@ def fused_curve_enhance(
             f"stripe rows {plan.stripe_rows} / margin {plan.margin} "
             f"not divisible by curve_downsample={ds}"
         )
-    if cfg.stripe_windowed:
+    if use_windowed(cfg.stripe_windowed, plan):
         inputs = [xp, maps_flat]
         if gain is not None:
             inputs.append(gain[:, None].astype(jnp.float32))
@@ -331,7 +332,7 @@ def fused_curve_enhance(
         img_w=img_w,
         ext_gain=gain is not None,
     )
-    if cfg.stripe_windowed:
+    if use_windowed(cfg.stripe_windowed, plan):
         return stripe_pallas_call_windowed(kernel, inputs, plan, xp.dtype,
                                            interpret=interpret)
     out = stripe_pallas_call(kernel, inputs, plan, xp.dtype,
@@ -372,7 +373,7 @@ def fused_retinex_ema(
     video.video_step).
     """
     u8_io = xp.dtype == jnp.uint8
-    if cfg.stripe_windowed:
+    if use_windowed(cfg.stripe_windowed, plan):
         inputs = [xp, carry[:, None].astype(jnp.float32)]
     else:
         x_stripes = jnp.transpose(extract_stripes(xp, plan),
@@ -401,7 +402,7 @@ def fused_retinex_ema(
         ema_alpha=float(alpha),
         img_w=img_w,
     )
-    if cfg.stripe_windowed:
+    if use_windowed(cfg.stripe_windowed, plan):
         out, lmix = stripe_pallas_call_windowed(
             kernel, inputs, plan, xp.dtype,
             interpret=interpret, extra_out=[(1, jnp.float32)],
@@ -488,7 +489,7 @@ def fused_retinex(
       the horizontal padding; the caller crops [margin, margin + W).
     """
     u8_io = xp.dtype == jnp.uint8
-    if cfg.stripe_windowed:
+    if use_windowed(cfg.stripe_windowed, plan):
         # element-offset windows straight off the canvas: no XLA
         # extract/merge copies (striping.stripe_pallas_call_windowed)
         inputs = xp if gain is None else [
@@ -524,7 +525,7 @@ def fused_retinex(
         stages=tuple(stages),
         ext_gain=gain is not None,
     )
-    if cfg.stripe_windowed:
+    if use_windowed(cfg.stripe_windowed, plan):
         return stripe_pallas_call_windowed(kernel, inputs, plan, xp.dtype,
                                            interpret=interpret)
     out = stripe_pallas_call(kernel, inputs, plan, xp.dtype,

@@ -150,6 +150,22 @@ def stripe_pallas_call(
     return tuple(res) if extra_out else res
 
 
+def use_windowed(stripe_windowed, plan: StripePlan) -> bool:
+    """Resolve PipelineConfig.stripe_windowed (None = auto) for a plan.
+
+    Measured on-chip A/B (round 5, docs/PERFORMANCE.md stripe-window
+    section): the windowed form wins where the extract/merge copies are a
+    large fraction of the program (600x400 b48: +7.6% full program, +8.3%
+    canvas path), is flat at 1080p, and LOSES ~9% at 4K width (945 vs
+    1042 fps b1) — the element-offset window DMA pays more per byte than
+    the contiguous pre-packed stripes at very wide rows. Auto keeps the
+    windowed path up to 1080p-class widths and the stripes form beyond.
+    """
+    if stripe_windowed is not None:
+        return bool(stripe_windowed)
+    return plan.padded_w <= 2048
+
+
 def stripe_pallas_call_windowed(
     kernel,
     canvases,

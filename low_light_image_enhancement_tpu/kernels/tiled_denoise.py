@@ -18,6 +18,7 @@ from low_light_image_enhancement_tpu.kernels.striping import (
     merge_stripes,
     stripe_pallas_call,
     stripe_pallas_call_windowed,
+    use_windowed,
 )
 from low_light_image_enhancement_tpu.kernels.fused_enhance import kroll2d
 from low_light_image_enhancement_tpu.ops.denoise import plane_cores
@@ -49,11 +50,13 @@ def tiled_denoise(
     taps: str = "full",
     guided_radius: int = 2,
     guided_eps: float = 3e-3,
-    windowed: bool = True,
+    windowed=None,
 ) -> jnp.ndarray:
     """(B, 3, Hp, Wp) padded canvas -> (B, 3, S*TH, Wp) denoised rows
     [margin, margin + S*TH); caller crops columns. ``windowed`` takes the
-    element-offset window path (no XLA extract/merge copies — round 5)."""
+    element-offset window path (no XLA extract/merge copies — round 5);
+    None = the width-based auto policy (striping.use_windowed)."""
+    windowed = use_windowed(windowed, plan)
     if not windowed:
         stripes = jnp.transpose(extract_stripes(xp, plan), (0, 2, 1, 3, 4))
 
