@@ -71,7 +71,13 @@ def test_spatially_sharded_training_matches_unsharded():
         make_paired_curve_train_step,
     )
 
-    tcfg = TrainConfig(features=8, n_iter=2, batch_size=2, crop=32, steps=1)
+    # f32 compute: this test pins the SHARDING math (halo exchange +
+    # partial reductions), so it runs the dtype where reduction
+    # reordering stays under a tight tolerance — the round-5 bf16
+    # training default reorders bf16 conv reductions across shards by
+    # ~2e-4, which is expected dtype noise, not a sharding bug.
+    tcfg = TrainConfig(features=8, n_iter=2, batch_size=2, crop=32, steps=1,
+                       compute_dtype="float32")
     rng = np.random.default_rng(0)
     low = jnp.asarray(rng.random((2, 3, 32, 32), np.float32) * 0.4)
     high = jnp.clip(low * 2.5, 0.0, 1.0)
