@@ -28,6 +28,7 @@ from low_light_image_enhancement_tpu.kernels.striping import (
     stripe_pallas_call,
     stripe_pallas_call_windowed,
     use_windowed,
+    windows_aligned,
 )
 from low_light_image_enhancement_tpu.ops.denoise import plane_cores
 from low_light_image_enhancement_tpu.ops.filters import separable_blur
@@ -288,7 +289,13 @@ def fused_curve_enhance(
             f"stripe rows {plan.stripe_rows} / margin {plan.margin} "
             f"not divisible by curve_downsample={ds}"
         )
-    if use_windowed(cfg.stripe_windowed, plan):
+    # the 1/ds low-res maps input must also satisfy Mosaic's (8, 128)
+    # block divisibility for element-offset windows (windows_aligned);
+    # ds in {2, 4} usually fails it -> stripes form (the extract copy
+    # being saved there is ds^2 smaller than the image's anyway)
+    windowed = (use_windowed(cfg.stripe_windowed, plan)
+                and windows_aligned(plan, ds))
+    if windowed:
         inputs = [xp, maps_flat]
         if gain is not None:
             inputs.append(gain[:, None].astype(jnp.float32))
@@ -332,7 +339,7 @@ def fused_curve_enhance(
         img_w=img_w,
         ext_gain=gain is not None,
     )
-    if use_windowed(cfg.stripe_windowed, plan):
+    if windowed:
         return stripe_pallas_call_windowed(kernel, inputs, plan, xp.dtype,
                                            interpret=interpret)
     out = stripe_pallas_call(kernel, inputs, plan, xp.dtype,

@@ -166,6 +166,29 @@ def use_windowed(stripe_windowed, plan: StripePlan) -> bool:
     return plan.padded_w <= 2048
 
 
+def windows_aligned(plan: StripePlan, ds: int = 1) -> bool:
+    """Whether the windowed form's blocks satisfy Mosaic's divisibility
+    rule (last two block dims divisible by (8, 128) or equal to the full
+    array dims) for a main canvas plus a 1/ds low-res side input.
+
+    The main canvas always aligns (TH is an 8-multiple, margins keep
+    thh = TH + 2m an 8-multiple, widths are full-dim windows). A 1/ds
+    side input (the curve kernel's low-res maps) windows (TH + 2m)/ds
+    rows with stride TH/ds — both must be 8-multiples, which ds in
+    {2, 4} rarely satisfies; callers fall back to the stripes form
+    there (the maps are ds^2 smaller than the image, so the extract
+    copy being saved is small anyway)."""
+    if ds == 1:
+        return True
+    thh = plan.stripe_rows + 2 * plan.margin
+    return (
+        plan.stripe_rows % ds == 0
+        and thh % ds == 0
+        and (thh // ds) % 8 == 0
+        and (plan.stripe_rows // ds) % 8 == 0
+    )
+
+
 def stripe_pallas_call_windowed(
     kernel,
     canvases,

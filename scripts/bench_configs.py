@@ -239,18 +239,25 @@ def _video_chain(step, dev, k):
     a frame-checksum carry so the per-step output stays live): a single
     tunnel dispatch per chain — same round-4 methodology fix as
     bench._device_chain (per-iteration dispatch latency varies ~0.1-10 ms
-    per session and swamps sub-ms video steps)."""
+    per session and swamps sub-ms video steps).
+
+    The frame VARIES per step (low-bit xor): with a constant frame, any
+    XLA-side per-frame work (the ext_gain arm's illumination + blur) is
+    loop-invariant and hoists out of the scan — a round-5 session
+    measured that arm at an impossible 242% of the measured VPU peak
+    before this fix. Real video never repeats frames; one xor per step
+    keeps both arms honest at negligible cost."""
     import jax as _jax
 
     @_jax.jit
     def run(state):
-        def body(carry, _):
+        def body(carry, i):
             st, acc = carry
-            st, y = step(st, dev)
+            st, y = step(st, jnp.bitwise_xor(dev, i))
             return (st, acc + jnp.mean(y.astype(jnp.float32))), None
 
-        (st, acc), _ = _jax.lax.scan(body, (state, jnp.float32(0)), None,
-                                     length=k)
+        xs = (jnp.arange(k, dtype=jnp.int32) % 2).astype(dev.dtype)
+        (st, acc), _ = _jax.lax.scan(body, (state, jnp.float32(0)), xs)
         return st, acc
 
     return run
