@@ -241,22 +241,30 @@ def _video_chain(step, dev, k):
     bench._device_chain (per-iteration dispatch latency varies ~0.1-10 ms
     per session and swamps sub-ms video steps).
 
-    The frame VARIES per step (low-bit xor): with a constant frame, any
-    XLA-side per-frame work (the ext_gain arm's illumination + blur) is
-    loop-invariant and hoists out of the scan — a round-5 session
-    measured that arm at an impossible 242% of the measured VPU peak
-    before this fix. Real video never repeats frames; one xor per step
-    keeps both arms honest at negligible cost."""
+    The frame VARIES per step (alternating between two pre-staged frames
+    by index): with a constant frame, any XLA-side per-frame work (the
+    ext_gain arm's illumination + blur) is loop-invariant and hoists out
+    of the scan — a round-5 session measured that arm at an impossible
+    242% of the measured VPU peak before this fix. Real video never
+    repeats frames; indexing a resident (2, ...) stack adds no HBM
+    traffic (the step's own frame read consumes it)."""
     import jax as _jax
 
     @_jax.jit
     def run(state):
+        if jnp.issubdtype(dev.dtype, jnp.integer):
+            alt = jnp.bitwise_xor(dev, jnp.asarray(1, dev.dtype))
+        else:  # f32 frames (the sharded video chain): one u8-step nudge
+            alt = jnp.clip(dev + jnp.asarray(1.0 / 255.0, dev.dtype),
+                           0.0, 1.0)
+        frames = jnp.stack([dev, alt])
+
         def body(carry, i):
             st, acc = carry
-            st, y = step(st, jnp.bitwise_xor(dev, i))
+            st, y = step(st, frames[i])
             return (st, acc + jnp.mean(y.astype(jnp.float32))), None
 
-        xs = (jnp.arange(k, dtype=jnp.int32) % 2).astype(dev.dtype)
+        xs = jnp.arange(k, dtype=jnp.int32) % 2
         (st, acc), _ = _jax.lax.scan(body, (state, jnp.float32(0)), xs)
         return st, acc
 

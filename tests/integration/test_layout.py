@@ -101,3 +101,21 @@ def test_enhance_stream_staging_batches(staging="canvas"):
                                    workers=2))
     for got, want in zip(out, ref):
         np.testing.assert_array_equal(got, want)
+
+
+def test_planar_path_with_data_shards():
+    """planar I/O composes with DP batch sharding (data_shards > 1): the
+    batch-sharded planar program matches the unsharded planar program."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices")
+    cfg = PipelineConfig(data_shards=2)
+    pipe = EnhancePipeline(cfg, force_jnp=True)
+    x = to_planar(_batch(4))
+    out = np.asarray(pipe.enhance_batch_device_planar(jnp.asarray(x)))
+    ref = np.asarray(
+        EnhancePipeline(PipelineConfig(), force_jnp=True)
+        .enhance_batch_device_planar(jnp.asarray(x))
+    )
+    np.testing.assert_array_equal(out, ref)
