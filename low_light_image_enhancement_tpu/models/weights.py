@@ -25,7 +25,14 @@ PRETRAINED = {
     # docs/PERFORMANCE.md "denoise-in-loss" section.
     "hybrid": _WEIGHTS_DIR / "curve_hybrid.npz",
     "fcn": _WEIGHTS_DIR / "fcn.npz",
-    "decom": _WEIGHTS_DIR / "decom.npz",
+    # Round-5 default: the materialized-relit-image objective (w_relit —
+    # the decomposition loss plus an L1+SSIM term on the image the decom
+    # pipeline actually ships) beats the pure-decomposition round-3
+    # weights on the DEFAULT bilateral config on every metric
+    # (20.04 dB / 0.898 SSIM / dE 18.0 vs 19.6 / 0.742 — eval matrix,
+    # docs/PERFORMANCE.md guided-in-loss round-5 section). The old set
+    # stays addressable as NAMED["decom_v4"].
+    "decom": _WEIGHTS_DIR / "decom_relit.npz",
 }
 
 
@@ -75,6 +82,9 @@ NAMED["fcn_guided"] = _WEIGHTS_DIR / "fcn_guided.npz"
 # through the guided tail / with no tail respectively.
 NAMED["decom_relit_guided"] = _WEIGHTS_DIR / "decom_relit_guided.npz"
 NAMED["decom_relit"] = _WEIGHTS_DIR / "decom_relit.npz"
+# the pre-round-5 pure-decomposition-objective weights (superseded as the
+# method default by decom_relit; kept for reproducing round-3/4 numbers)
+NAMED["decom_v4"] = _WEIGHTS_DIR / "decom.npz"
 
 
 def load_pretrained(method: str) -> Optional[Dict[str, Any]]:
